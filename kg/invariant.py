@@ -1,0 +1,66 @@
+"""Per-row span-sequence invariant (BASELINE.json input_hint).
+
+Every document that enters the pipeline must come out with an identical span
+sequence on (kind, text, media_ref, order) — media spans byte-identical and
+in place.  The pipeline proves this non-trivially: ``passthrough_docs``
+re-assembles each document from the *exploded* span representation (the same
+explode the extract stage consumes), re-sorting by offset, and
+``span_violations`` diffs the reassembly against the input table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def passthrough_docs(docs: DataFrame) -> DataFrame:
+    """Explode all spans, then reassemble per doc ordered by offset."""
+    s = F.explode_outer("spans").alias("s")
+    exploded = docs.select("doc_id", s)
+    # collect_list skips nulls — wrap the struct in when() so the
+    # explode_outer placeholder row of an empty-spans doc doesn't become a
+    # struct-of-nulls element.
+    return exploded.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("s").isNotNull(),
+                    F.struct(
+                        F.col("s.offset").alias("offset"),
+                        F.col("s.kind").alias("kind"),
+                        F.col("s.text").alias("text"),
+                        F.col("s.media_ref").alias("media_ref"),
+                    ),
+                )
+            )
+        ).alias("ordered")
+    ).select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def span_violations(input_docs: DataFrame, output_docs: DataFrame) -> DataFrame:
+    """Docs whose output span sequence differs from the input's."""
+    a = input_docs.select("doc_id", F.col("spans").alias("spans_in"))
+    b = output_docs.select("doc_id", F.col("spans").alias("spans_out"))
+    joined = a.join(b, "doc_id", "full_outer")
+    same = (
+        F.coalesce(F.col("spans_in"), F.array()) == F.coalesce(F.col("spans_out"), F.array())
+    ) & F.col("spans_in").isNotNull() & F.col("spans_out").isNotNull()
+    empty_both = (
+        F.col("spans_in").isNotNull()
+        & F.col("spans_out").isNotNull()
+        & (F.size("spans_in") == 0)
+        & (F.size("spans_out") == 0)
+    )
+    return joined.where(~(same | empty_both))

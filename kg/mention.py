@@ -1,0 +1,188 @@
+"""Spark mention-detection + relation-extraction stage (fused Arrow kernel).
+
+Architecture (SURVEY.md §3.1 Spark mapping, §4 manual plan choices):
+
+- ``explode_text_spans``: JVM-side posexplode of the interleaved spans array,
+  keeping only text spans — media spans never enter the Python kernel (they
+  are carried through by the span-sequence invariant, kg/invariant.py).
+- ``extract_sentences``: ONE ``mapInPandas`` kernel that fuses parse →
+  tokenize → per-tag label projection → decode → within-sentence relation
+  pairing.  Tokenization happens once per sentence and is then expanded x3
+  tags (the CSE rewrite the reference misses — it re-tokenizes per tag at
+  ner/dataset.py:56; SURVEY.md §4).
+- Decode uses the *candidate-pruned algebraic form* of the reference
+  predicate (metrics.py:18-37): with the gold-projection scorer a span (i,j)
+  is predicted iff its span logit, start logit at i and end logit at j are
+  all > 0 and (i,j) lies in the masked upper triangle — which reduces to the
+  gold offset list filtered by the truncation guard (ner/dataset.py:74-75).
+  No O(L^2) tensor is ever materialized (the single biggest perf lever,
+  SURVEY.md §4); the unpruned predicate lives in kg/oracle.py and parity is
+  asserted in tests/test_parity.py.
+- Output is ONE nested row per sentence (mentions + triples arrays), written
+  to a checkpoint table once; downstream mention/triple tables are narrow
+  explodes of that checkpoint — the kernel never runs twice and nothing
+  shuffles until entity linking.
+
+Scale notes (100 TB): the kernel is embarrassingly parallel over input
+splits; no shuffle, no driver collection.  Arrow batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (kg/session.py); per-batch
+memory is O(batch * sentence_len), not O(L^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kg.config import MAX_LEN, REL_WINDOW
+from kg.oracle import build_tag2query, parse_segments
+from kg.tokenizer import Vocab
+
+SENTENCES_SCHEMA = "doc_id string, sent_offset int, text string"
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sent_offset", T.IntegerType()),
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType()),
+                        T.StructField("start", T.IntegerType()),
+                        T.StructField("end", T.IntegerType()),
+                        T.StructField("mention", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "triples",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("subj", T.StringType()),
+                        T.StructField("pred", T.StringType()),
+                        T.StructField("obj", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def explode_text_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans[]) -> (doc_id, sent_offset, text); JVM-side only."""
+    s = F.explode("spans").alias("s")
+    return (
+        docs.select("doc_id", s)
+        .where((F.col("s.kind") == "text") & (F.trim(F.col("s.text")) != ""))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("sent_offset"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+def _extract_sentence(text: str, vocab: Vocab, tag2query: dict, tok_cache: dict) -> tuple[list, list]:
+    """Kernel body for one sentence; candidate-pruned decode (module doc)."""
+    context_len = 0
+    # per-tag gold offsets in context-token space (ner/dataset.py:47-53)
+    offsets: dict[str, list[tuple[int, int]]] = {}
+    tokens: list[str] = []
+    for word, tag in parse_segments(text):
+        sub = tok_cache.get(word)
+        if sub is None:
+            sub = vocab.tokenize(word)
+            tok_cache[word] = sub
+        n = len(sub)
+        if tag in tag2query and n:
+            offsets.setdefault(tag, []).append((context_len, context_len + n - 1))
+        tokens.extend(sub)
+        context_len += n
+
+    mentions: list[tuple[str, int, int, str]] = []
+    for tag in sorted(offsets):
+        qlen = len(tag2query[tag])
+        # len(start_labels)-1 in context space (truncation guard,
+        # ner/dataset.py:57,65-66,74-75): labels run to min(qlen+L, MAX_LEN-1)
+        ctx_limit = min(context_len, MAX_LEN - 1 - qlen)
+        for s, e in offsets[tag]:
+            if e >= ctx_limit:  # span past truncation: dropped
+                continue
+            surface = "".join(
+                t[2:] if t.startswith("##") else t for t in tokens[s : e + 1]
+            )
+            mentions.append((tag, s, e, surface))
+    mentions.sort(key=lambda m: (m[1], m[2], m[0]))
+
+    triples: list[tuple[str, str, str]] = []
+    for i, a in enumerate(mentions):
+        a_end = a[2]
+        for b in mentions[i + 1 :]:
+            if b[1] <= a_end:
+                continue
+            if b[1] - a_end > REL_WINDOW:
+                continue
+            triples.append((a[3], f"rel_{a[0]}_{b[0]}", b[3]))
+    return mentions, triples
+
+
+def extract_sentences(sentences: DataFrame, vocab: Vocab) -> DataFrame:
+    """sentences -> nested (doc_id, sent_offset, mentions[], triples[])."""
+    spark = sentences.sparkSession
+    vocab_bc = spark.sparkContext.broadcast(vocab)
+    tag2query = build_tag2query(vocab)
+    t2q_bc = spark.sparkContext.broadcast(tag2query)
+
+    def kernel(batches):
+        import pandas as pd
+
+        v = vocab_bc.value
+        t2q = t2q_bc.value
+        tok_cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_m, out_t = [], []
+            for text in pdf["text"]:
+                m, t = _extract_sentence(text, v, t2q, tok_cache)
+                out_m.append(m)
+                out_t.append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sent_offset": pdf["sent_offset"],
+                    "mentions": out_m,
+                    "triples": out_t,
+                }
+            )
+
+    return sentences.mapInPandas(kernel, EXTRACT_SCHEMA)
+
+
+def mentions_table(extracted: DataFrame) -> DataFrame:
+    """Narrow explode of the extract checkpoint -> mention rows."""
+    m = F.explode("mentions").alias("m")
+    return extracted.select("doc_id", "sent_offset", m).select(
+        "doc_id",
+        "sent_offset",
+        F.col("m.tag").alias("tag"),
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.mention").alias("mention"),
+    )
+
+
+def triples_table(extracted: DataFrame) -> DataFrame:
+    """Narrow explode of the extract checkpoint -> triple rows."""
+    t = F.explode("triples").alias("t")
+    return extracted.select("doc_id", "sent_offset", t).select(
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        "doc_id",
+        "sent_offset",
+    )

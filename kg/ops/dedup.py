@@ -1,0 +1,200 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+- exact: hash-groupBy on full text (shuffle on md5, AQE-coalesced).
+- n-gram Jaccard: fully relational word-set Jaccard between candidate pairs
+  (explode -> equi-join on word -> count), no UDFs — pushes all work into
+  hash joins/aggregations that scale horizontally.
+- MinHash+LSH near-dup clustering: word-shingle MinHash signatures
+  (vectorized NumPy kernel), banded LSH bucket join, verified Jaccard,
+  connected components -> cluster ids (reuses kg/linking.py machinery).
+- SimHash: 64-bit signatures via explode + bitwise aggregation, JVM-side.
+
+At 100 TB: exact dedup is one shuffle on a 16-byte key; LSH is the standard
+band-bucket equi-join (skew handled by AQE + the mega-bucket cap); the
+Jaccard verify join only touches candidate pairs, never the cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg.linking import _hash_params, band_keys, connected_components
+
+_P = 2_147_483_647
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_copies, rep_doc_id)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep one representative (min doc_id) per distinct text."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def word_jaccard_pairs(
+    docs: DataFrame, min_jaccard: float = 0.5, same_key: str = "source"
+) -> DataFrame:
+    """Word-set Jaccard over candidate pairs, relational end to end.
+
+    Candidates are restricted to pairs sharing ``same_key`` (a cheap blocking
+    key — at scale this is what bounds the join fan-out).
+    Output: (doc_id_a, doc_id_b, n_common, n_a, n_b, jaccard).
+    """
+    words = docs.select(
+        "doc_id",
+        F.col(same_key).alias("blk"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    ).where(F.col("word") != "")
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+
+    a = words.select(F.col("doc_id").alias("doc_id_a"), "blk", "word")
+    b = words.select(F.col("doc_id").alias("doc_id_b"), "blk", "word")
+    common = (
+        a.join(b, ["blk", "word"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_words").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_words").alias("n_b"))
+    return (
+        common.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _word_shingle_hashes(text: str, k: int = 2) -> np.ndarray:
+    words = [w for w in text.split(" ") if w]
+    grams = (
+        {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+        if len(words) >= k
+        else set(words)
+    )
+    out = set()
+    for g in grams:
+        h = 0
+        for ch in g:
+            h = (h * 131 + ord(ch)) % _P
+        out.add(h)
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+def minhash_clusters(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Near-duplicate clusters: (doc_id, cluster_id); singletons excluded.
+
+    shingle -> MinHash -> band -> bucket-join -> verify -> CC
+    (SURVEY.md pattern reused from entity linking; word 2-gram shingles).
+    """
+    a, b = _hash_params(num_hashes=num_hashes, seed=11)
+
+    def sig_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, buckets = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                x = _word_shingle_hashes(text)
+                if x.size == 0:
+                    continue
+                sig = ((a[:, None] * x[None, :] + b[:, None]) % _P).min(axis=1)
+                for key in band_keys(sig, bands=bands):
+                    ids.append(doc_id)
+                    buckets.append(key)
+            yield pd.DataFrame({"doc_id": ids, "bucket": buckets})
+
+    ids_text = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    buckets = ids_text.mapInPandas(sig_kernel, "doc_id string, bucket string")
+
+    sized = buckets.join(
+        buckets.groupBy("bucket").agg(F.count("*").alias("bsz")), "bucket"
+    ).where(F.col("bsz") <= max_bucket)
+    left = sized.select("bucket", F.col("doc_id").alias("id_a"))
+    right = sized.select("bucket", F.col("doc_id").alias("id_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    texts = ids_text
+    cand = (
+        pairs.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")), "id_a")
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")), "id_b")
+    )
+
+    def verify_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep_a, keep_b = [], []
+            for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]):
+                s1 = set(_word_shingle_hashes(ta).tolist())
+                s2 = set(_word_shingle_hashes(tb).tolist())
+                union = len(s1 | s2)
+                if union and len(s1 & s2) / union >= threshold:
+                    keep_a.append(ia)
+                    keep_b.append(ib)
+            yield pd.DataFrame({"m1": keep_a, "m2": keep_b})
+
+    edges = cand.mapInPandas(verify_kernel, "m1 string, m2 string")
+    comp = connected_components(edges)
+    return comp.select(F.col("mention").alias("doc_id"), F.col("canonical").alias("cluster_id"))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: (doc_id, simhash).
+
+    word hash = xxhash64(word); each bit votes +-1 weighted by term count;
+    signature bit b = 1 iff the vote sum is >= 0.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") >= 0,
+                F.when(F.col("bit") == 63, F.lit(-(1 << 63))).otherwise(
+                    F.shiftleft(F.lit(1).cast("long"), F.col("bit"))
+                ),
+            ).otherwise(0)
+        ).alias("simhash")
+    )

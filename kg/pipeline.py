@@ -1,0 +1,152 @@
+"""End-to-end KG-construction pipeline with checkpointed, resumable stages.
+
+Stage DAG (each stage is a committed parquet checkpoint via kg/catalog.py;
+a resumed run recomputes only stages whose inputs changed):
+
+    documents ──> extract ──> mentions ──> linked ──> nodes
+        │            └──────> triples ───────┴─────> edges
+        └──────> documents_out (span-sequence invariant proof)
+
+Shuffle budget at scale (SURVEY.md §4): documents→extract is shuffle-free
+(narrow explode + mapInPandas over input splits); mentions/triples are
+narrow explodes of the extract checkpoint; the first shuffles appear at
+entity linking (distinct + LSH bucket join) and the grouping aggregations of
+nodes/edges — all keyed, AQE-coalesced, skew-join protected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.catalog import StageCatalog
+from kg.graph import build_edges, build_nodes
+from kg.invariant import passthrough_docs, span_violations
+from kg.linking import link_mentions
+from kg.mention import explode_text_spans, extract_sentences, mentions_table, triples_table
+from kg.synth import corpus_vocab
+from kg.tokenizer import Vocab
+
+
+def input_fingerprint(docs: DataFrame) -> str:
+    """Order-independent content fingerprint of the input corpus.
+
+    One scan (bit_xor of per-row xxhash64 + count — xor, not sum: ANSI mode
+    makes long sums overflow) so a resumed run detects a changed input and
+    recomputes from the top; callers that already version their input
+    (Iceberg snapshot id) can pass that instead via the stage's
+    ``extra_inputs`` and skip the scan.
+    """
+    row = docs.select(
+        F.bit_xor(F.xxhash64("doc_id", F.to_json("spans"))).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame]
+    catalog: StageCatalog
+    executed: list[str] = field(default_factory=list)
+    invariant_violations: int = 0
+
+    def counts(self) -> dict[str, int]:
+        return {name: self.catalog.manifest(name)["rows"] for name in self.tables}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    vocab: Vocab | None = None,
+    check_invariant: bool = True,
+) -> PipelineResult:
+    cat = StageCatalog(spark, base_dir)
+    if vocab is None:
+        vocab = corpus_vocab()
+
+    documents = cat.run(
+        "documents", lambda: docs, extra_inputs={"__input__": input_fingerprint(docs)}
+    )
+
+    extract = cat.run(
+        "extract",
+        lambda: extract_sentences(explode_text_spans(cat.read("documents")), vocab),
+        inputs=["documents"],
+    )
+    mentions = cat.run(
+        "mentions", lambda: mentions_table(cat.read("extract")), inputs=["extract"]
+    )
+    triples = cat.run(
+        "triples", lambda: triples_table(cat.read("extract")), inputs=["extract"]
+    )
+    linked = cat.run(
+        "linked", lambda: link_mentions(cat.read("mentions")), inputs=["mentions"]
+    )
+    nodes = cat.run(
+        "nodes",
+        lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
+        inputs=["mentions", "linked"],
+    )
+    edges = cat.run(
+        "edges",
+        lambda: build_edges(cat.read("triples"), cat.read("linked")),
+        inputs=["triples", "linked"],
+    )
+    documents_out = cat.run(
+        "documents_out",
+        lambda: passthrough_docs(cat.read("documents")),
+        inputs=["documents"],
+    )
+
+    violations = 0
+    if check_invariant:
+        violations = span_violations(documents, documents_out).count()
+        if violations:
+            raise AssertionError(
+                f"span-sequence invariant violated for {violations} docs"
+            )
+
+    tables = {
+        "documents": documents,
+        "extract": extract,
+        "mentions": mentions,
+        "triples": triples,
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "documents_out": documents_out,
+    }
+    return PipelineResult(
+        tables=tables,
+        catalog=cat,
+        executed=list(cat.executed),
+        invariant_violations=violations,
+    )
+
+
+def top_entity_pairs(edges: DataFrame, nodes: DataFrame, k: int = 20) -> DataFrame:
+    """Flagship query: top canonical entity pairs by distinct-doc frequency."""
+    pair_freq = (
+        edges.groupBy("subj", "pred", "obj")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.sum("weight").alias("total_weight"),
+        )
+    )
+    subj_names = nodes.select(
+        F.col("entity_id").alias("subj"), F.col("canonical_text").alias("subj_text")
+    )
+    obj_names = nodes.select(
+        F.col("entity_id").alias("obj"), F.col("canonical_text").alias("obj_text")
+    )
+    return (
+        pair_freq.join(F.broadcast(subj_names), "subj")
+        .join(F.broadcast(obj_names), "obj")
+        .select("subj_text", "pred", "obj_text", "doc_freq", "total_weight")
+        .orderBy(F.desc("doc_freq"), F.desc("total_weight"), "subj_text", "obj_text", "pred")
+        .limit(k)
+    )
