@@ -1,38 +1,353 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query end-to-end on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data ops); each SQL-expressible one has a matching DuckDB oracle in
+``oracle_sql()``; genuinely non-SQL ops (tokenizing mention detection,
+MinHash clustering, LSH ANN, SimHash, media kernels) are rows-only checks
+backed by exact-parity pytest gates against the single-node oracle
+(tests/test_parity.py).
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg import relational as R
+from kg.ops import dedup as D
+from kg.ops import similarity as S
+from kg.ops import textstats as TS
+from kg.ops.multimodal import extract_features, media_table
+from kg.pipeline import run_pipeline, top_entity_pairs
+from kg.synth import corpus_vocab, sf_to_n_docs, synth_docs_df
+
+# ---------------------------------------------------------------------------
+# KG pipeline memo: one checkpointed run per scale, shared by all kg_* queries
+# (the resume catalog makes repeat calls free).
+# ---------------------------------------------------------------------------
+
+_VOCAB = None
+
+
+def _vocab():
+    global _VOCAB
+    if _VOCAB is None:
+        _VOCAB = corpus_vocab()
+    return _VOCAB
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    sf = _sf_of(sf_dir)
+    n_docs = sf_to_n_docs(sf)
+    base = os.path.join("/tmp", f"kg_ckpt_sf{sf}")
+    docs = synth_docs_df(spark, n_docs)
+    res = run_pipeline(
+        spark, docs, base, vocab=_vocab(), input_token=f"synth:{n_docs}:42"
+    )
+    return res.tables
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query on sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tables = _kg_tables(spark, "/root/testdata/sf0.001")
+    return top_entity_pairs(tables["edges"], tables["nodes"], k=20)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_embedding_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        R.load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # SURVEY.md §2 relational operators (SQL-checked)
+        "seg_wordcount": R.seg_wordcount,
+        "word_tag_split": R.word_tag_split,
+        "tag_filter": R.tag_filter,
+        "threshold_filter": R.threshold_filter,
+        "range_self_join": R.range_self_join,
+        "cross_expand": R.cross_expand,
+        "span_conjunction": R.span_conjunction,
+        "tp_fp_fn": R.tp_fp_fn,
+        "prf1": R.prf1,
+        "lineitem_agg": R.lineitem_agg,
+        "revenue_by_nation": R.revenue_by_nation,
+        "order_window": R.order_window,
+        "union_nation_parties": R.union_nation_parties,
+        "keyphrases_top5": R.keyphrases_top5,
+        # training-data ops (SQL-checked)
+        "dedup_exact": lambda s, d: D.exact_duplicates(
+            R.load(s, d, "documents").select(
+                F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+            )
+        ),
+        "word_jaccard_pairs": lambda s, d: D.word_jaccard_pairs(
+            R.load(s, d, "documents"), min_jaccard=0.5, same_key="source"
+        ),
+        "lang_id": lambda s, d: TS.lang_id(R.load(s, d, "documents")),
+        "quality_score": lambda s, d: TS.quality_score(R.load(s, d, "documents")),
+        "token_counts": lambda s, d: TS.token_counts(R.load(s, d, "documents")),
+        "fingerprint": lambda s, d: TS.fingerprint(R.load(s, d, "documents")),
+        "cosine_topk": lambda s, d: S.cosine_topk(
+            R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
+        ),
+        # non-SQL-expressible (rows-only; exact-parity pytest gates instead)
+        "simhash": lambda s, d: D.simhash64(R.load(s, d, "documents")),
+        "minhash_clusters": lambda s, d: D.minhash_clusters(
+            R.load(s, d, "documents")
+        ),
+        "ann_lsh": lambda s, d: S.lsh_ann(
+            R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
+        ),
+        "cosine_topk_np": lambda s, d: S.cosine_topk_np(
+            R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
+        ),
+        # KG pipeline (rows-only; parity vs single-node oracle in tests/)
+        "kg_mentions": lambda s, d: _kg_tables(s, d)["mentions"],
+        "kg_triples": lambda s, d: _kg_tables(s, d)["triples"],
+        "kg_linked": lambda s, d: _kg_tables(s, d)["linked"],
+        "kg_nodes": lambda s, d: _kg_tables(s, d)["nodes"],
+        "kg_edges": lambda s, d: _kg_tables(s, d)["edges"],
+        "kg_top_pairs": lambda s, d: top_entity_pairs(
+            _kg_tables(s, d)["edges"], _kg_tables(s, d)["nodes"], k=20
+        ),
+        "kg_span_invariant": lambda s, d: _kg_invariant(s, d),
+        "media_features": lambda s, d: extract_features(
+            media_table(_kg_tables(s, d)["documents"])
+        ),
+    }
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.invariant import span_violations
+
+    t = _kg_tables(spark, sf_dir)
+    return span_violations(t["documents"], t["documents_out"]).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; same parquet tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seg_wordcount": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "word_tag_split": """
+            SELECT split_part(lang || '/' || source, '/', 1) AS word,
+                   split_part(lang || '/' || source, '/', 2) AS tag,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        """,
+        "tag_filter": """
+            SELECT event_type, count(*) AS cnt FROM events
+            WHERE event_type IN ('click', 'view') GROUP BY event_type
+        """,
+        "threshold_filter": """
+            SELECT event_id, user_id, value FROM events WHERE value > 50
+        """,
+        "range_self_join": """
+            SELECT a.l_orderkey, count(*) AS n_pairs
+            FROM (SELECT l_orderkey, l_linenumber FROM lineitem) a
+            JOIN (SELECT l_orderkey, l_linenumber FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber <= b.l_linenumber
+            GROUP BY a.l_orderkey
+        """,
+        "cross_expand": """
+            SELECT t.tag, count(*) AS cnt
+            FROM documents CROSS JOIN (VALUES ('ns'), ('nt'), ('nr')) AS t(tag)
+            GROUP BY t.tag
+        """,
+        "span_conjunction": """
+            SELECT s.user_id, count(*) AS n_spans
+            FROM (SELECT user_id, event_id AS start_id FROM events
+                  WHERE value > 40 AND event_type = 'click') s
+            JOIN (SELECT user_id, event_id AS end_id FROM events
+                  WHERE value > 40 AND event_type = 'view') e
+              ON s.user_id = e.user_id
+             AND s.start_id < e.end_id AND e.end_id - s.start_id <= 100
+            GROUP BY s.user_id
+        """,
+        "tp_fp_fn": """
+            SELECT
+              sum(CASE WHEN value > 50 AND event_type = 'click' THEN 1 ELSE 0 END)::bigint AS tp,
+              sum(CASE WHEN value > 50 AND event_type <> 'click' THEN 1 ELSE 0 END)::bigint AS fp,
+              sum(CASE WHEN value <= 50 AND event_type = 'click' THEN 1 ELSE 0 END)::bigint AS fn
+            FROM events
+        """,
+        "prf1": """
+            WITH c AS (
+              SELECT
+                sum(CASE WHEN value > 50 AND event_type = 'click' THEN 1 ELSE 0 END)::bigint AS tp,
+                sum(CASE WHEN value > 50 AND event_type <> 'click' THEN 1 ELSE 0 END)::bigint AS fp,
+                sum(CASE WHEN value <= 50 AND event_type = 'click' THEN 1 ELSE 0 END)::bigint AS fn
+              FROM events)
+            SELECT tp / (tp + fp + 1e-10) AS precision,
+                   tp / (tp + fn + 1e-10) AS recall,
+                   2 * (tp / (tp + fn + 1e-10)) * (tp / (tp + fp + 1e-10))
+                     / ((tp / (tp + fn + 1e-10)) + (tp / (tp + fp + 1e-10)) + 1e-10) AS f1
+            FROM c
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "order_window": """
+            SELECT user_id, first_event_id FROM (
+              SELECT user_id, event_id AS first_event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "union_nation_parties": """
+            SELECT nationkey, count(*) AS n_parties FROM (
+              SELECT c_nationkey::int AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey::int AS nationkey FROM supplier)
+            GROUP BY nationkey
+        """,
+        "keyphrases_top5": """
+            SELECT doc_id, phrase, freq, rank FROM (
+              SELECT doc_id, phrase, freq,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY freq DESC, phrase ASC) AS rank
+              FROM (
+                SELECT doc_id, word AS phrase, count(*) AS freq
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id, word))
+            WHERE rank <= 5
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_copies,
+                   min(doc_id) AS rep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "word_jaccard_pairs": """
+            WITH words AS (
+              SELECT doc_id, source AS blk,
+                     unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                      x -> x <> ''))) AS word
+              FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+              FROM words a JOIN words b
+                ON a.blk = b.blk AND a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_id_a, doc_id_b, n_common,
+                   sa.n_words AS n_a, sb.n_words AS n_b,
+                   n_common / (sa.n_words + sb.n_words - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_id_a
+            JOIN sizes sb ON sb.doc_id = doc_id_b
+            WHERE n_common / (sa.n_words + sb.n_words - n_common) >= 0.5
+        """,
+        "lang_id": """
+            SELECT doc_id,
+              CASE
+                WHEN length(text) = 0 THEN 'other'
+                WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::double
+                     / length(text) > 0.3 THEN 'zh'
+                WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+                     / length(text) > 0.8 THEN 'en'
+                ELSE 'other'
+              END AS lang_pred
+            FROM documents
+        """,
+        "quality_score": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+                     len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+              FROM documents)
+            SELECT doc_id, n_words, n_distinct,
+              round(CASE WHEN n_words > 0
+                         THEN (n_chars - (n_words - 1))::double / n_words
+                         ELSE 0.0 END, 4) AS avg_word_len,
+              round(CASE WHEN n_chars > 0
+                         THEN n_punct::double / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+              round(
+                least(n_words / 100.0::double, 1.0::double) * 0.4::double
+                + (CASE WHEN n_words > 0 THEN n_distinct::double / n_words ELSE 0.0 END) * 0.4::double
+                + (1.0::double - least((CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END) * 10,
+                                       1.0::double)) * 0.2::double, 4) AS quality
+            FROM base
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   sum((ascii(word) * 131 + length(word) * 31 + 7)
+                       * (((i - 1) % 16) + 1)) % 1000000007 AS fingerprint
+            FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
+                     generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+              FROM documents)
+            GROUP BY doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::double AS v
+              FROM embeddings WHERE vec_id = 0),
+            e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::double AS v
+              FROM embeddings),
+            dots AS (
+              SELECT e.vec_id,
+                     sum(e.v * q.v) AS dot,
+                     sum(e.v * e.v) AS n2
+              FROM e JOIN q USING (i) GROUP BY e.vec_id),
+            qn AS (SELECT sum(v * v) AS qn2 FROM q)
+            SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cosine
+            FROM dots, qn
+            ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

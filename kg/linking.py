@@ -150,25 +150,23 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("canonical").alias("nbr_canonical"))
         )
-        new_labels = (
+        # one materialization per iteration carries both the new label and
+        # the changed flag (2 jobs/iter: checkpoint + cheap flag probe)
+        stepped = (
             labels.join(nbr_min, labels["mention"] == nbr_min["src"], "left")
             .select(
                 "mention",
                 F.least(
                     F.col("canonical"), F.coalesce("nbr_canonical", F.col("canonical"))
-                ).alias("canonical"),
+                ).alias("new_canonical"),
+                (
+                    F.coalesce("nbr_canonical", F.col("canonical")) < F.col("canonical")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mention")
-            .where(F.col("n.canonical") != F.col("o.canonical"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("mention", F.col("new_canonical").alias("canonical"))
+        if stepped.where("changed").limit(1).count() == 0:
             break
     return labels
 
@@ -177,9 +175,14 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     """mentions DF (col ``mention``) -> map (mention, canonical).
 
     Mentions that never met a similar partner map to themselves.
+
+    ``distinct`` and ``buckets`` are re-used by multiple join branches
+    (bucket sizing, pair self-join, final mapping) — they are materialized
+    once (localCheckpoint; at cluster scale: persist or the stage catalog)
+    so the scan + MinHash kernel run once, not per branch.
     """
-    distinct = mentions.select("mention").distinct()
-    buckets = mention_buckets(distinct)
+    distinct = mentions.select("mention").distinct().localCheckpoint()
+    buckets = mention_buckets(distinct).localCheckpoint()
     pairs = candidate_pairs(buckets)
     edges = verified_edges(pairs)
     comp = connected_components(edges)

@@ -25,16 +25,13 @@ from kg.linking import _hash_params, band_keys, connected_components
 _P = 2_147_483_647
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, n_copies, rep_doc_id)."""
-    return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("rep_doc_id"),
-        )
-        .where(F.col("n_copies") > 1)
+def exact_duplicates(docs: DataFrame, only_dupes: bool = False) -> DataFrame:
+    """Hash groups of identical texts: (text_hash, n_copies, rep_doc_id)."""
+    out = docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("rep_doc_id"),
     )
+    return out.where(F.col("n_copies") > 1) if only_dupes else out
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -185,16 +182,16 @@ def simhash64(docs: DataFrame) -> DataFrame:
     )
     votes = bits.groupBy("doc_id", "bit").agg(
         F.sum(
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.expr("(shiftright(h, bit) & 1L) = 1"), 1).otherwise(-1)
         ).alias("vote")
     )
     return votes.groupBy("doc_id").agg(
         F.sum(
             F.when(
                 F.col("vote") >= 0,
-                F.when(F.col("bit") == 63, F.lit(-(1 << 63))).otherwise(
-                    F.shiftleft(F.lit(1).cast("long"), F.col("bit"))
-                ),
-            ).otherwise(0)
+                # bit 63 is the sign bit: shiftleft(1L, 63) IS long.MinValue,
+                # and summing one such term per doc stays in range
+                F.expr("shiftleft(1L, bit)"),
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )

@@ -16,6 +16,7 @@ nodes/edges — all keyed, AQE-coalesced, skew-join protected.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,7 @@ class PipelineResult:
     catalog: StageCatalog
     executed: list[str] = field(default_factory=list)
     invariant_violations: int = 0
+    timings: dict[str, float] = field(default_factory=dict)
 
     def counts(self) -> dict[str, int]:
         return {name: self.catalog.manifest(name)["rows"] for name in self.tables}
@@ -63,40 +65,54 @@ def run_pipeline(
     base_dir: str,
     vocab: Vocab | None = None,
     check_invariant: bool = True,
+    input_token: str | None = None,
 ) -> PipelineResult:
+    """``input_token``: caller-supplied input version (Iceberg snapshot id,
+    synth parameters, ...).  When given, the change-detection scan of the
+    input is skipped — the token is the fingerprint."""
     cat = StageCatalog(spark, base_dir)
     if vocab is None:
         vocab = corpus_vocab()
 
-    documents = cat.run(
-        "documents", lambda: docs, extra_inputs={"__input__": input_fingerprint(docs)}
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, **kw):
+        t0 = time.perf_counter()
+        out = cat.run(name, fn, **kw)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    documents = timed(
+        "documents",
+        lambda: docs,
+        extra_inputs={"__input__": input_token or input_fingerprint(docs)},
     )
 
-    extract = cat.run(
+    extract = timed(
         "extract",
         lambda: extract_sentences(explode_text_spans(cat.read("documents")), vocab),
         inputs=["documents"],
     )
-    mentions = cat.run(
+    mentions = timed(
         "mentions", lambda: mentions_table(cat.read("extract")), inputs=["extract"]
     )
-    triples = cat.run(
+    triples = timed(
         "triples", lambda: triples_table(cat.read("extract")), inputs=["extract"]
     )
-    linked = cat.run(
+    linked = timed(
         "linked", lambda: link_mentions(cat.read("mentions")), inputs=["mentions"]
     )
-    nodes = cat.run(
+    nodes = timed(
         "nodes",
         lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
         inputs=["mentions", "linked"],
     )
-    edges = cat.run(
+    edges = timed(
         "edges",
         lambda: build_edges(cat.read("triples"), cat.read("linked")),
         inputs=["triples", "linked"],
     )
-    documents_out = cat.run(
+    documents_out = timed(
         "documents_out",
         lambda: passthrough_docs(cat.read("documents")),
         inputs=["documents"],
@@ -104,7 +120,9 @@ def run_pipeline(
 
     violations = 0
     if check_invariant:
+        t0 = time.perf_counter()
         violations = span_violations(documents, documents_out).count()
+        timings["invariant_check"] = round(time.perf_counter() - t0, 3)
         if violations:
             raise AssertionError(
                 f"span-sequence invariant violated for {violations} docs"
@@ -125,6 +143,7 @@ def run_pipeline(
         catalog=cat,
         executed=list(cat.executed),
         invariant_violations=violations,
+        timings=timings,
     )
 
 

@@ -1,0 +1,187 @@
+"""Relational operator queries over the driver testdata tables.
+
+One function per operator family from SURVEY.md §2, expressed declaratively
+(Catalyst gets pushdown/pruning/broadcast for free); each has a matching
+ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.  Column aliases MUST match
+the oracle SQL exactly (driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# -- P1: whitespace segmentation ------------------------------------------
+def seg_wordcount(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# -- P2: word/tag split (split_part semantics) -----------------------------
+def word_tag_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    seg = F.concat_ws("/", "lang", "source")
+    return (
+        docs.select(
+            F.split_part(seg, F.lit("/"), F.lit(1)).alias("word"),
+            F.split_part(seg, F.lit("/"), F.lit(2)).alias("tag"),
+        )
+        .groupBy("word", "tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# -- P3: membership predicate ----------------------------------------------
+def tag_filter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# -- P4: score-threshold predicate (logits > 0 analog) ----------------------
+def threshold_filter(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.where(F.col("value") > 50).select("event_id", "user_id", "value")
+
+
+# -- P5/J2: range predicate via self-join (start <= end) --------------------
+def range_self_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.select(F.col("l_orderkey"), F.col("l_linenumber").alias("ln_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_linenumber").alias("ln_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("ln_a") <= F.col("ln_b"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# -- J1: broadcast cross-join expansion (sentence x 3 tags) ------------------
+def cross_expand(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tags = spark.createDataFrame([("ns",), ("nt",), ("nr",)], "tag string")
+    return docs.crossJoin(F.broadcast(tags)).groupBy("tag").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# -- J2: conjunctive span decode join (start ∧ end ∧ range) ------------------
+def span_conjunction(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    starts = ev.where((F.col("value") > 40) & (F.col("event_type") == "click")).select(
+        "user_id", F.col("event_id").alias("start_id")
+    )
+    ends = ev.where((F.col("value") > 40) & (F.col("event_type") == "view")).select(
+        "user_id", F.col("event_id").alias("end_id")
+    )
+    return (
+        starts.join(ends, "user_id")
+        .where(
+            (F.col("start_id") < F.col("end_id"))
+            & (F.col("end_id") - F.col("start_id") <= 100)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+# -- J3/A1: tp/fp/fn micro counts -------------------------------------------
+def tp_fp_fn(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    pred = F.col("value") > 50
+    gold = F.col("event_type") == "click"
+    return ev.agg(
+        F.sum(F.when(pred & gold, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~gold, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & gold, 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+
+
+# -- A3: P/R/F1 with the reference's exact epsilons (ner/trainer.py:49-51) ---
+def prf1(spark, sf_dir):
+    c = tp_fp_fn(spark, sf_dir)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    recall = tp / (tp + fn + F.lit(1e-10))
+    precision = tp / (tp + fp + F.lit(1e-10))
+    f1 = 2 * recall * precision / (recall + precision + F.lit(1e-10))
+    return c.select(
+        precision.alias("precision"), recall.alias("recall"), f1.alias("f1")
+    )
+
+
+# -- A1/A2 analog: grouped aggregation sweep (TPC-H Q1 shape) -----------------
+def lineitem_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# -- multi-join star chain (broadcast dims) ----------------------------------
+def revenue_by_nation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# -- window / order enforcement (§2.5) ----------------------------------------
+def order_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# -- set op: union merge (§2.5 target usage) ----------------------------------
+def union_nation_parties(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust.unionAll(supp).groupBy("nationkey").agg(F.count("*").alias("n_parties"))
+
+
+# -- keyphrase stage over plain documents (north_star; SQL-checkable twin) ----
+def keyphrases_top5(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("phrase")
+    ).where(F.col("phrase") != "")
+    tf = words.groupBy("doc_id", "phrase").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("freq"), F.asc("phrase"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "phrase", "freq", "rank")
+    )

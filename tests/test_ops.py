@@ -1,0 +1,162 @@
+"""Training-data ops: dedup, similarity search, text stats, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kg.ops.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_clusters,
+    simhash64,
+    word_jaccard_pairs,
+)
+from kg.ops.multimodal import FEATURE_DIM, decode_image, extract_features, media_table
+from kg.ops.similarity import cosine_topk, cosine_topk_np, hyperplane_buckets, lsh_ann
+from kg.ops.textstats import fingerprint, lang_id, quality_score, token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    groups = {r.text_hash: r for r in exact_duplicates(df, only_dupes=True).collect()}
+    assert len(groups) == 1
+    (g,) = groups.values()
+    assert g.n_copies == 3 and g.rep_doc_id == 1
+    kept = exact_dedup(df).collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def test_minhash_clusters_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different words about spark clusters and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = {r.doc_id: r.cluster_id for r in minhash_clusters(df, threshold=0.5).collect()}
+    assert clusters.get("1") == clusters.get("2")
+    assert clusters.get("3", None) != clusters.get("1", "absent")
+
+
+def test_simhash_similar_docs_have_close_hashes(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 word differs
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    assert hamming(h[1], h[2]) < hamming(h[2], h[3])
+
+
+def test_word_jaccard_pairs_finds_planted_pair(spark):
+    rows = [
+        (1, "a b c d e", "s1"),
+        (2, "a b c d f", "s1"),  # jaccard 4/6
+        (3, "q r s t u", "s1"),
+        (4, "a b c d e", "s2"),  # same text, different block: not paired with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = word_jaccard_pairs(df, min_jaccard=0.5).collect()
+    assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p.n_common == 4 and p.n_a == 5 and p.n_b == 5
+    assert abs(p.jaccard - 4 / 6) < 1e-12
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    q = [float(x) for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = [(r.vec_id, r.cosine) for r in cosine_topk(embeddings, q, k=10).collect()]
+    # numpy reference
+    rows = embeddings.collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    qv = np.array(q)
+    sims = m @ qv / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(ids, sims), key=lambda t: (-t[1], t[0]))[:10]
+    want = [(int(i), round(float(s), 4)) for i, s in order]
+    assert got == want
+    assert got[0][0] == 0 and got[0][1] == 1.0
+
+
+def test_cosine_topk_np_agrees_with_jvm_path(spark, embeddings):
+    q = [float(x) for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    a = [(r.vec_id, round(r.cosine, 4)) for r in cosine_topk(embeddings, q, k=10).collect()]
+    b = [(r.vec_id, round(r.cosine, 4)) for r in cosine_topk_np(embeddings, q, k=10).collect()]
+    assert a == b
+
+
+def test_lsh_ann_returns_query_bucket_subset(spark, embeddings):
+    q = [float(x) for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ann = lsh_ann(embeddings, q, k=10, n_planes=6).collect()
+    assert any(r.vec_id == 0 for r in ann)  # query vec always in own bucket
+    assert all(r.cosine <= 1.0001 for r in ann)
+    # candidates strictly from one bucket
+    buckets = hyperplane_buckets(embeddings, len(q), n_planes=6)
+    n_bucket = buckets.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert len(ann) <= max(10, n_bucket)
+
+
+def test_textstats_shapes_and_ranges(spark, docs):
+    n = docs.count()
+    li = lang_id(docs).collect()
+    assert len(li) == n and all(r.lang_pred in ("en", "zh", "other") for r in li)
+    qs = quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in qs)
+    tc = token_counts(docs).collect()
+    assert all(r.ws_tokens > 0 and r.bpe_tokens >= r.ws_tokens for r in tc)
+    fp = fingerprint(docs).collect()
+    assert len({r.fingerprint for r in fp}) > n // 2  # mostly distinct
+
+
+def test_media_pipeline_plumbing(spark):
+    from kg.synth import docs_to_df, synth_docs
+
+    docs = docs_to_df(spark, synth_docs(40))
+    media = media_table(docs)
+    rows = media.collect()
+    assert rows, "synth corpus must contain media spans"
+    for r in rows[:5]:
+        assert isinstance(bytes(r.content), bytes) and len(bytes(r.content)) == 256
+        assert r.meta.bytes == 256 and r.meta.mime.startswith(r.kind)
+    feats = extract_features(media).collect()
+    assert len(feats) == len(rows)
+    for f in feats[:5]:
+        assert len(f.features) == FEATURE_DIM
+        v = np.array(f.features)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_media_features_deterministic(spark):
+    from kg.synth import docs_to_df, synth_docs
+
+    docs = docs_to_df(spark, synth_docs(10))
+    a = {r.media_ref: r.features for r in extract_features(media_table(docs)).collect()}
+    b = {r.media_ref: r.features for r in extract_features(media_table(docs)).collect()}
+    assert a == b
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 16)

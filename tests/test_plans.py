@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plans (pushdown, pruning, broadcast, codegen)."""
+
+from pyspark.sql import functions as F
+
+from kg.relational import load, revenue_by_nation, threshold_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = threshold_filter(spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(value,50.0)" in plan.replace(" ", "")
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    df = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dims_are_broadcast(spark):
+    plan = _plan(revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from kg.relational import lineitem_agg
+
+    plan = _plan(lineitem_agg(spark, SF))
+    assert "WholeStageCodegen" in plan
+
+
+def test_extract_stage_has_no_shuffle(spark, vocab):
+    from kg.mention import explode_text_spans, extract_sentences
+    from kg.synth import docs_to_df, synth_docs
+
+    docs = docs_to_df(spark, synth_docs(20))
+    df = extract_sentences(explode_text_spans(docs), vocab)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # documents -> extract is shuffle-free

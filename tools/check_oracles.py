@@ -1,0 +1,86 @@
+"""Driver-style correctness harness: run every __spark_entry__ query at a
+given sf and compare with its DuckDB oracle (row count + schema-name set +
+order-insensitive value hash).  Usage: python tools/check_oracles.py [sf_dir]
+[query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+from kg.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            srows = df.collect()
+            scols = df.columns
+            sn, sh = table_hash(scols, [tuple(r) for r in srows])
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} SPARK-ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only   rows={sn}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            dn, dh = table_hash(dcols, drows)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} DUCKDB-ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        ok = (sn == dn) and (sh == dh) and (sorted(scols) == sorted(dcols))
+        print(f"{name:24s} {'OK ' if ok else 'MISMATCH'} rows={sn}/{dn} hash={sh}/{dh} cols={sorted(scols)==sorted(dcols)}")
+        if not ok:
+            failures.append(name)
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
