@@ -52,7 +52,12 @@ def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     base = os.path.join("/tmp", f"kg_ckpt_sf{sf}")
     docs = synth_docs_df(spark, n_docs)
     res = run_pipeline(
-        spark, docs, base, vocab=_vocab(), input_token=f"synth:{n_docs}:42"
+        spark,
+        docs,
+        base,
+        vocab=_vocab(),
+        input_token=f"synth:{n_docs}:42",
+        check_invariant=False,  # kg_span_invariant exposes the check itself
     )
     return res.tables
 
@@ -129,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked": lambda s, d: _kg_tables(s, d)["linked"],
         "kg_nodes": lambda s, d: _kg_tables(s, d)["nodes"],
         "kg_edges": lambda s, d: _kg_tables(s, d)["edges"],
+        "kg_keyphrases": lambda s, d: _kg_tables(s, d)["keyphrases"],
         "kg_top_pairs": lambda s, d: top_entity_pairs(
             _kg_tables(s, d)["edges"], _kg_tables(s, d)["nodes"], k=20
         ),

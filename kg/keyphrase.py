@@ -1,0 +1,35 @@
+"""Keyphrase stage over the interleaved corpus (north_star "keyphrase stack").
+
+Deterministic per-doc top-k 'o'-tagged words by term frequency (semantics
+defined by kg/oracle.py:doc_keyphrases — the reference ships no keyphrase
+code).  Entirely JVM-side: explode text spans -> whitespace segments ->
+rsplit-once word/tag (reference ner/dataset.py:38,44 parse) -> filter
+non-entity words of length >= 2 -> TF -> windowed top-k with deterministic
+ties (freq desc, phrase asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg.config import KEYPHRASE_TOP_K, TAGS
+from kg.mention import explode_text_spans
+
+
+def keyphrases_table(docs: DataFrame, top_k: int = KEYPHRASE_TOP_K) -> DataFrame:
+    sents = explode_text_spans(docs)
+    seg = F.explode(F.split(F.trim("text"), r"\s+")).alias("seg")
+    segs = sents.select("doc_id", seg).where(F.col("seg") != "")
+    tag = F.substring_index("seg", "/", -1)
+    word = F.expr("substring(seg, 1, length(seg) - length(substring_index(seg, '/', -1)) - 1)")
+    words = segs.select(
+        "doc_id", word.alias("phrase"), tag.alias("tag")
+    ).where(~F.col("tag").isin(*TAGS) & (F.length("phrase") >= 2))
+    tf = words.groupBy("doc_id", "phrase").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("freq"), F.asc("phrase"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "phrase", "freq", "rank")
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from kg.catalog import StageCatalog
 from kg.graph import build_edges, build_nodes
 from kg.invariant import passthrough_docs, span_violations
+from kg.keyphrase import keyphrases_table
 from kg.linking import link_mentions
 from kg.mention import explode_text_spans, extract_sentences, mentions_table, triples_table
 from kg.synth import corpus_vocab
@@ -112,6 +113,11 @@ def run_pipeline(
         lambda: build_edges(cat.read("triples"), cat.read("linked")),
         inputs=["triples", "linked"],
     )
+    keyphrases = timed(
+        "keyphrases",
+        lambda: keyphrases_table(cat.read("documents")),
+        inputs=["documents"],
+    )
     documents_out = timed(
         "documents_out",
         lambda: passthrough_docs(cat.read("documents")),
@@ -136,6 +142,7 @@ def run_pipeline(
         "linked": linked,
         "nodes": nodes,
         "edges": edges,
+        "keyphrases": keyphrases,
         "documents_out": documents_out,
     }
     return PipelineResult(

@@ -13,8 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# direct `python scripts/run_pipeline.py` runs: make the repo importable
+# (under spark-submit --py-files kg.zip this is already on the path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

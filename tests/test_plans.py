@@ -41,8 +41,12 @@ def test_small_dims_are_broadcast(spark):
 def test_whole_stage_codegen_covers_agg(spark):
     from kg.relational import lineitem_agg
 
-    plan = _plan(lineitem_agg(spark, SF))
-    assert "WholeStageCodegen" in plan
+    df = lineitem_agg(spark, SF)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' operator prefix marks WholeStageCodegen spans in the final plan
+    assert "*(" in plan
 
 
 def test_extract_stage_has_no_shuffle(spark, vocab):

@@ -15,6 +15,7 @@ ALL_STAGES = [
     "linked",
     "nodes",
     "edges",
+    "keyphrases",
     "documents_out",
 ]
 
