@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_window": R.order_window,
         "union_nation_parties": R.union_nation_parties,
         "keyphrases_top5": R.keyphrases_top5,
+        "asof_join": R.asof_join,
+        "sessionize": R.sessionize,
+        "lineitem_rollup": R.lineitem_rollup,
+        "events_cube": R.events_cube,
+        "events_pivot": R.events_pivot,
+        "value_percentiles": R.value_percentiles,
+        "distinct_users": R.distinct_users,
+        "approx_distinct_users": R.approx_distinct_users,  # HLL: rows-only
         # training-data ops (SQL-checked)
         "dedup_exact": lambda s, d: D.exact_duplicates(
             R.load(s, d, "documents").select(
@@ -260,6 +268,74 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
                 WHERE word <> '' GROUP BY doc_id, word))
             WHERE rank <= 5
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, NULL::bigint AS err_id, 1 AS k
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, event_id, event_id, 0
+              FROM events WHERE event_type = 'error')
+            SELECT event_id, user_id, asof_error_id FROM (
+              SELECT event_id, user_id, k,
+                     last_value(err_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS asof_error_id
+              FROM u)
+            WHERE k = 1
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(lag_ts) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM lagged),
+            sess AS (
+              SELECT user_id, event_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event_id
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_cube": """
+            SELECT event_type, hr, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+            GROUP BY CUBE (event_type, hr)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS view
+            FROM events GROUP BY user_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_copies,

@@ -185,3 +185,114 @@ def keyphrases_top5(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("doc_id", "phrase", "freq", "rank")
     )
+
+
+# -- as-of join (guide: Spark lacks a native one) -----------------------------
+def asof_join(spark, sf_dir):
+    """For each click, the most recent error (ts <=) by the same user.
+
+    Implemented JVM-side as the union + last_value(ignore nulls) window
+    pattern (no per-group Python): errors sort before clicks at equal ts so
+    a same-timestamp error counts; ties broken by event_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("err_id"), F.lit(1).alias("k")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("err_id"), F.lit(0).alias("k")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionAll(errors)
+        .withColumn("asof_error_id", F.last("err_id", ignorenulls=True).over(w))
+        .where(F.col("k") == 1)
+        .select("event_id", "user_id", "asof_error_id")
+    )
+
+
+# -- sessionization (window lag + cumulative gap count) ------------------------
+def sessionize(spark, sf_dir, gap_minutes: int = 30):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: matches the oracle's epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    with_flag = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+# -- rollup / cube (grouping sets) ---------------------------------------------
+def lineitem_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def events_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return ev.cube("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# -- pivot ----------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# -- exact percentiles ------------------------------------------------------------
+def value_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+# -- distinct counts ---------------------------------------------------------------
+def distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct_users(spark, sf_dir):
+    """HLL sketch path (rows-only: approximate by design)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
