@@ -43,7 +43,9 @@ def bench_kg(spark, sf_dir: str, n_docs: int | None = None) -> dict:
 
     sf = _sf_of(sf_dir)
     if n_docs is None:
-        n_docs = int(os.environ.get("SPARK_KG_BENCH_DOCS", "0")) or sf_to_n_docs(sf)
+        # 10x the correctness-run corpus: at bench scale the fixed per-job
+        # overhead amortizes and throughput reflects steady state
+        n_docs = int(os.environ.get("SPARK_KG_BENCH_DOCS", "0")) or sf_to_n_docs(sf) * 10
     vocab = corpus_vocab()  # excluded from timing: amortized dictionary build
     base = tempfile.mkdtemp(prefix="kg_bench_")
     try:
