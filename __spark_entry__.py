@@ -46,10 +46,27 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+_CODE_FP = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the shipped kg package: stale /tmp checkpoints from an older
+    code version must not satisfy a newer run's correctness checks."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+
+        from kg.session import make_pyfiles_zip
+
+        with open(make_pyfiles_zip(), "rb") as f:
+            _CODE_FP = hashlib.sha256(f.read()).hexdigest()[:10]
+    return _CODE_FP
+
+
 def _kg_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     sf = _sf_of(sf_dir)
     n_docs = sf_to_n_docs(sf)
-    base = os.path.join("/tmp", f"kg_ckpt_sf{sf}")
+    base = os.path.join("/tmp", f"kg_ckpt_sf{sf}_{_code_fingerprint()}")
     docs = synth_docs_df(spark, n_docs)
     res = run_pipeline(
         spark,

@@ -197,26 +197,42 @@ def scaling_worker() -> None:
     print("SCALING:" + json.dumps(best))
 
 
+def _run_worker(n_cores: int) -> dict:
+    env = dict(os.environ, SPARK_KG_SCALE_CORES=str(n_cores), SPARK_KG_SCALE_REPEATS="1")
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("SCALING:")][-1]
+    return json.loads(line[len("SCALING:"):])
+
+
 def scaling(sf_dir: str) -> None:
+    """Interleaved paired design: this VM's wall-clock noise is ~±30% over
+    minutes, so lo/hi runs alternate back-to-back and efficiency is the
+    MEDIAN of per-pair speedups — a ratio of adjacent-in-time runs is far
+    less noisy than a ratio of two best-of batches."""
     n_lo = int(os.environ.get("SPARK_KG_SCALE_N", "2"))
     n_hi = n_lo * 4
-    results = {}
-    for n in (n_lo, n_hi):
-        env = dict(os.environ, SPARK_KG_SCALE_CORES=str(n))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING:")][-1]
-        results[n] = json.loads(line[len("SCALING:"):])
-    speedup = results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]
+    pairs = int(os.environ.get("SPARK_KG_SCALE_PAIRS", "3"))
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    speedups: list[float] = []
+    for _ in range(pairs):
+        lo = _run_worker(n_lo)
+        hi = _run_worker(n_hi)
+        runs[n_lo].append(lo)
+        runs[n_hi].append(hi)
+        speedups.append(hi["docs_per_sec"] / lo["docs_per_sec"])
+    order = sorted(range(pairs), key=lambda i: speedups[i])
+    mid = order[pairs // 2]
     report = {
         "n_lo": n_lo,
         "n_hi": n_hi,
-        "lo": results[n_lo],
-        "hi": results[n_hi],
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(speedup / 4.0, 3),
+        "lo": runs[n_lo][mid],
+        "hi": runs[n_hi][mid],
+        "pair_speedups": [round(s, 3) for s in speedups],
+        "speedup": round(speedups[mid], 3),
+        "scaling_efficiency": round(speedups[mid] / 4.0, 3),
         "hw_calibration": _hw_calibration(n_lo, n_hi),
     }
     print(json.dumps(report))
@@ -234,8 +250,9 @@ the criterion is evidenced by running the SAME end-to-end KG pipeline job
 (distributed corpus synthesis -> fused mention/relation extraction ->
 MinHash/LSH entity linking + connected components -> graph materialization,
 every stage checkpoint written and committed) on identical input at two
-parallelism levels in separate JVMs, after an untimed warm-up pass,
-best-of-2 timed runs each:
+parallelism levels in separate JVMs (interleaved lo/hi pairs, untimed
+warm-up pass per JVM, median-of-pairs speedup — the numbers below are the
+median pair):
 
 | cores | wall (s) | docs/sec | triples/sec |
 |---|---|---|---|
@@ -243,7 +260,8 @@ best-of-2 timed runs each:
 | local[{r["n_hi"]}] | {hi["sec"]} | {hi["docs_per_sec"]} | {hi["triples_per_sec"]} |
 
 - input: {lo["n_docs"]} interleaved docs (seeded synth), {lo["n_triples"]} triples out
-- speedup {r["n_lo"]}→{r["n_hi"]} cores: **{r["speedup"]}x** (ideal 4x)
+- per-pair speedups: {r.get("pair_speedups", [])}
+- median speedup {r["n_lo"]}→{r["n_hi"]} cores: **{r["speedup"]}x** (ideal 4x)
 - scaling efficiency: **{r["scaling_efficiency"]}** (gate: >= 0.8)
 
 ## Hardware calibration (why N={r["n_lo"]})
