@@ -24,7 +24,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kg.config import LINK_JACCARD, LSH_BANDS, MINHASH_PRIME, NUM_HASHES, SHINGLE_K
+from kg.config import (
+    LINK_JACCARD,
+    LSH_BANDS,
+    MINHASH_PRIME,
+    NUM_HASHES,
+    SALT_BUCKETS,
+    SHINGLE_K,
+)
 
 _P = MINHASH_PRIME
 
@@ -98,19 +105,54 @@ def mention_buckets(mention_texts: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(buckets: DataFrame, max_bucket: int = 200) -> DataFrame:
-    """Self-join within buckets; mega-buckets dropped (counter via observe)."""
+def candidate_pairs(
+    buckets: DataFrame,
+    max_bucket: int = 200,
+    salt_threshold: int = 32,
+    n_salts: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Self-join within LSH buckets, skew-managed three ways (north_rule):
+
+    - buckets above ``max_bucket`` members are dropped entirely (standard
+      LSH mega-bucket cap — they are non-discriminative);
+    - hot buckets (> ``salt_threshold``) go through a SALTED self-join: the
+      probe side's join key becomes (bucket, hash(mention) % n_salts) and
+      the build side is replicated across all salts, so one hot bucket
+      spreads over ``n_salts`` reducers instead of one straggler task —
+      every pair is still produced exactly once (at the probe row's salt);
+    - everything else is a plain bucket equi-join, with AQE skew-join as
+      the runtime backstop.
+    """
     sized = buckets.join(
         buckets.groupBy("bucket").agg(F.count("*").alias("bsz")), "bucket"
     ).where(F.col("bsz") <= max_bucket)
-    left = sized.select("bucket", F.col("mention").alias("m1"))
-    right = sized.select("bucket", F.col("mention").alias("m2"))
-    return (
-        left.join(right, "bucket")
+
+    cold = sized.where(F.col("bsz") <= salt_threshold)
+    pairs_cold = (
+        cold.select("bucket", F.col("mention").alias("m1"))
+        .join(cold.select("bucket", F.col("mention").alias("m2")), "bucket")
         .where(F.col("m1") < F.col("m2"))
         .select("m1", "m2")
-        .distinct()
     )
+
+    hot = sized.where(F.col("bsz") > salt_threshold)
+    probe = hot.select(
+        "bucket",
+        F.col("mention").alias("m1"),
+        F.pmod(F.xxhash64("mention"), F.lit(n_salts)).cast("int").alias("salt"),
+    )
+    build = hot.select(
+        "bucket",
+        F.col("mention").alias("m2"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+    )
+    pairs_hot = (
+        probe.join(build, ["bucket", "salt"])
+        .where(F.col("m1") < F.col("m2"))
+        .select("m1", "m2")
+    )
+
+    return pairs_cold.unionAll(pairs_hot).distinct()
 
 
 def verified_edges(pairs: DataFrame, threshold: float = LINK_JACCARD) -> DataFrame:
@@ -128,13 +170,16 @@ def verified_edges(pairs: DataFrame, threshold: float = LINK_JACCARD) -> DataFra
 
 
 def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
-    """Min-label propagation -> (mention, canonical).
+    """Min-label propagation with pointer jumping -> (mention, canonical).
 
-    Each iteration: label(u) <- min(label(u), min over neighbors label(v));
-    ``localCheckpoint`` truncates lineage (SURVEY.md §4).  Linking components
-    (surface-form variant clusters) have tiny diameter, so this converges in
-    a handful of rounds; a large-star/small-star alternation is the
-    O(log n)-round upgrade path for adversarial graphs.
+    Each iteration does hash-to-min (label(u) <- min over {u} ∪ N(u) of
+    labels) followed by one pointer jump (label(u) <- label(label(u))),
+    which cuts rounds from O(component diameter) to O(log diameter) — the
+    difference between unusable and fine on adversarial chain graphs at
+    scale.  Labels only decrease and stay within the component, so the
+    fixed point is the component minimum either way.  One
+    ``localCheckpoint`` per iteration truncates lineage (SURVEY.md §4);
+    convergence costs one cheap probe on the checkpointed result.
     """
     sym = edges.select(F.col("m1").alias("src"), F.col("m2").alias("dst")).union(
         edges.select(F.col("m2").alias("src"), F.col("m1").alias("dst"))
@@ -150,23 +195,32 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("canonical").alias("nbr_canonical"))
         )
-        # one materialization per iteration carries both the new label and
-        # the changed flag (2 jobs/iter: checkpoint + cheap flag probe)
-        stepped = (
-            labels.join(nbr_min, labels["mention"] == nbr_min["src"], "left")
+        stepped = labels.join(
+            nbr_min, labels["mention"] == nbr_min["src"], "left"
+        ).select(
+            "mention",
+            F.least(
+                F.col("canonical"), F.coalesce("nbr_canonical", F.col("canonical"))
+            ).alias("mid"),
+            F.col("canonical").alias("old"),
+        )
+        # pointer jump: label(u) <- label(label(u))
+        parent = stepped.select(
+            F.col("mention").alias("p_mention"), F.col("mid").alias("p_label")
+        )
+        new_label = F.least(F.col("mid"), F.coalesce("p_label", F.col("mid")))
+        jumped = (
+            stepped.join(parent, stepped["mid"] == parent["p_mention"], "left")
             .select(
                 "mention",
-                F.least(
-                    F.col("canonical"), F.coalesce("nbr_canonical", F.col("canonical"))
-                ).alias("new_canonical"),
-                (
-                    F.coalesce("nbr_canonical", F.col("canonical")) < F.col("canonical")
-                ).alias("changed"),
+                new_label.alias("new_canonical"),
+                # labels only decrease: new < old iff anything moved
+                (new_label < F.col("old")).alias("changed"),
             )
             .localCheckpoint()
         )
-        labels = stepped.select("mention", F.col("new_canonical").alias("canonical"))
-        if stepped.where("changed").limit(1).count() == 0:
+        labels = jumped.select("mention", F.col("new_canonical").alias("canonical"))
+        if jumped.where("changed").limit(1).count() == 0:
             break
     return labels
 

@@ -71,6 +71,30 @@ def test_spark_linking_matches_local(spark):
     assert any(k != v for k, v in got.items())
 
 
+def test_salted_pairs_equal_plain_pairs(spark):
+    from itertools import combinations
+
+    from kg.linking import candidate_pairs
+
+    # one hot bucket (40 members > salt_threshold) + one cold bucket
+    rows = [(f"m{i:02d}", "HOT") for i in range(40)] + [
+        ("a", "COLD"), ("b", "COLD")
+    ]
+    buckets = spark.createDataFrame(rows, "mention string, bucket string")
+    got = {(r.m1, r.m2) for r in candidate_pairs(buckets).collect()}
+    hot_members = sorted(f"m{i:02d}" for i in range(40))
+    want = set(combinations(hot_members, 2)) | {("a", "b")}
+    assert got == want  # salting loses no pair and invents none
+
+
+def test_mega_bucket_dropped(spark):
+    from kg.linking import candidate_pairs
+
+    rows = [(f"x{i:03d}", "MEGA") for i in range(300)]
+    buckets = spark.createDataFrame(rows, "mention string, bucket string")
+    assert candidate_pairs(buckets, max_bucket=200).count() == 0
+
+
 def test_connected_components_chain(spark):
     # adversarial chain a-b-c-d-e: converges to min label 'a'
     edges = spark.createDataFrame(
@@ -79,3 +103,47 @@ def test_connected_components_chain(spark):
     )
     comp = {r.mention: r.canonical for r in connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    # 64-node path: diameter 63; pointer jumping must converge well inside
+    # max_iters=10 (plain propagation would need ~63 rounds)
+    n = 64
+    names = [f"n{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(n - 1)], "m1 string, m2 string"
+    )
+    comp = {r.mention: r.canonical for r in connected_components(edges, max_iters=10).collect()}
+    assert set(comp.values()) == {"n000"}
+    assert len(comp) == n
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(5)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)})
+    edges = spark.createDataFrame(pairs, "m1 string, m2 string")
+
+    parent = {x: x for x in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in nodes if any(x in p for p in pairs)}
+
+    got = {r.mention: r.canonical for r in connected_components(edges).collect()}
+    # canonical = lexicographic min of component in both
+    comp_min = {}
+    for x, r in want.items():
+        comp_min.setdefault(r, []).append(x)
+    want_min = {x: min(members) for r, members in comp_min.items() for x in members}
+    assert got == want_min
