@@ -22,12 +22,16 @@ from kg.synth import SPANS_SCHEMA  # noqa: F401  (shape documentation)
 def read_tagged_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented tagged corpus -> interleaved-docs shape (S1).
 
-    One document per non-empty line; doc_id is a content hash (line order
-    is not meaningful to the reference pipeline — every sentence is an
-    independent example, ner/dataset.py:37).
+    One document per distinct non-empty line; doc_id is a content hash
+    (line order is not meaningful to the reference pipeline — every
+    sentence is an independent example, ner/dataset.py:37 — and duplicate
+    lines would collide on the content-addressed doc_id).
     """
-    lines = spark.read.text(path).select(F.trim("value").alias("text")).where(
-        F.col("text") != ""
+    lines = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("text"))
+        .where(F.col("text") != "")
+        .distinct()
     )
     return lines.select(
         F.concat(F.lit("line-"), F.substring(F.sha2("text", 256), 1, 16)).alias("doc_id"),
