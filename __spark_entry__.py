@@ -139,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: TS.quality_score(R.load(s, d, "documents")),
         "token_counts": lambda s, d: TS.token_counts(R.load(s, d, "documents")),
         "fingerprint": lambda s, d: TS.fingerprint(R.load(s, d, "documents")),
+        "embedding_nn_pairs": lambda s, d: S.embedding_nn_pairs(
+            R.load(s, d, "embeddings"), threshold=0.4
+        ),
+        "embedding_nn_pairs_lsh": lambda s, d: S.embedding_nn_pairs_lsh(
+            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4
+        ),  # approximate by design: rows-only
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
@@ -428,6 +434,24 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
               FROM documents)
             GROUP BY doc_id
+        """,
+        "embedding_nn_pairs": """
+            WITH f AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::double AS v
+              FROM embeddings),
+            n AS (SELECT vec_id, sum(v * v) AS n2 FROM f GROUP BY vec_id),
+            d AS (
+              SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                     sum(a.v * b.v) AS dot
+              FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            SELECT vec_id_a, vec_id_b,
+                   round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+            FROM d
+            JOIN n na ON na.vec_id = vec_id_a
+            JOIN n nb ON nb.vec_id = vec_id_b
+            WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4
         """,
         "cosine_topk": """
             WITH q AS (

@@ -114,3 +114,77 @@ def lsh_ann(
         buckets.where(F.col("bucket") == qkey).select("vec_id"), "vec_id"
     )
     return cosine_topk(candidates, query_vec, k)
+
+
+def embedding_nn_pairs(
+    embeddings: DataFrame, threshold: float = 0.8, round_to: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
+
+    Relational formulation (posexplode -> index equi-join -> partial-dot
+    aggregation) so the DuckDB oracle can replay it exactly; at scale the
+    LSH-bucketed variant (``hyperplane_buckets`` + within-bucket verify)
+    bounds the candidate set instead of the full cross product.
+    """
+    flat = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    norms = flat.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+
+    a = flat.select(F.col("vec_id").alias("vec_id_a"), "i", F.col("v").alias("va"))
+    b = flat.select(F.col("vec_id").alias("vec_id_b"), "i", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "i")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_id_b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot") / (F.sqrt("n2_a") * F.sqrt("n2_b"))
+    return (
+        dots.join(F.broadcast(na), "vec_id_a")
+        .join(F.broadcast(nb), "vec_id_b")
+        .where(cos >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round(cos, round_to).alias("cosine"))
+    )
+
+
+def embedding_nn_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    seed: int = 13,
+    round_to: int = 4,
+) -> DataFrame:
+    """Scale path: candidate pairs only within hyperplane-LSH buckets, then
+    exact cosine verify (NumPy kernel).  Approximate: pairs whose sign
+    patterns differ are never compared (recall grows with fewer planes)."""
+    buckets = hyperplane_buckets(embeddings, dim, n_planes, seed)
+    withb = embeddings.join(buckets, "vec_id")
+    a = withb.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = withb.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    cand = a.join(b, "bucket").where(F.col("vec_id_a") < F.col("vec_id_b"))
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.stack(pdf["ea"].to_numpy()).astype(np.float64)
+            mb = np.stack(pdf["eb"].to_numpy()).astype(np.float64)
+            cos = (ma * mb).sum(axis=1) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "vec_id_a": pdf["vec_id_a"],
+                    "vec_id_b": pdf["vec_id_b"],
+                    "cosine": np.round(cos, round_to),
+                }
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return cand.mapInPandas(verify, "vec_id_a long, vec_id_b long, cosine double")

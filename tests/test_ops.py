@@ -118,6 +118,23 @@ def test_lsh_ann_returns_query_bucket_subset(spark, embeddings):
     assert len(ann) <= max(10, n_bucket)
 
 
+def test_embedding_nn_pairs_lsh_subset_of_exact(spark, embeddings):
+    from kg.ops.similarity import embedding_nn_pairs, embedding_nn_pairs_lsh
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in embedding_nn_pairs(embeddings, threshold=0.35).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in embedding_nn_pairs_lsh(embeddings, dim=64, threshold=0.35, n_planes=4).collect()
+    }
+    assert exact, "threshold must yield some pairs at this sf"
+    assert set(approx) <= set(exact)  # LSH candidates never invent pairs
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-6  # same cosine where both found
+
+
 def test_textstats_shapes_and_ranges(spark, docs):
     n = docs.count()
     li = lang_id(docs).collect()
