@@ -170,8 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _kg_tables(s, d)["edges"], _kg_tables(s, d)["nodes"], k=20
         ),
         "kg_span_invariant": lambda s, d: _kg_invariant(s, d),
+        # features posexploded to scalar rows: the driver's canonicalizer
+        # sorts columns and cannot order an array<float> column (VERDICT r1).
         "media_features": lambda s, d: extract_features(
             media_table(_kg_tables(s, d)["documents"])
+        ).select(
+            "media_ref", "kind", F.posexplode("features").alias("i", "feature")
         ),
     }
     return q
@@ -190,6 +194,14 @@ def _kg_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_static()
+    # identical semantics, different execution strategy (Arrow/NumPy kernel
+    # vs JVM higher-order functions): same oracle applies to both.
+    o["cosine_topk_np"] = o["cosine_topk"]
+    return o
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "seg_wordcount": """
             SELECT word, count(*) AS cnt
@@ -283,8 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "keyphrases_top5": """
             SELECT doc_id, phrase, freq, rank FROM (
               SELECT doc_id, phrase, freq,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY freq DESC, phrase ASC) AS rank
+                     (row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY freq DESC, phrase ASC))::int AS rank
               FROM (
                 SELECT doc_id, word AS phrase, count(*) AS freq
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -321,8 +333,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lagged),
             sess AS (
               SELECT user_id, event_id,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(event_id) AS first_event_id
@@ -400,8 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": """
             WITH base AS (
               SELECT doc_id,
-                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-                     len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+                     len(list_filter(string_split(text, ' '), x -> x <> ''))::int AS n_words,
+                     len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::int AS n_distinct,
                      length(text) AS n_chars,
                      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
               FROM documents)
@@ -420,14 +432,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))::int AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::int AS bpe_tokens
             FROM documents
         """,
         "fingerprint": """
             SELECT doc_id,
-                   sum((ascii(word) * 131 + length(word) * 31 + 7)
-                       * (((i - 1) % 16) + 1)) % 1000000007 AS fingerprint
+                   (sum((ascii(word) * 131 + length(word) * 31 + 7)
+                        * (((i - 1) % 16) + 1)) % 1000000007)::bigint AS fingerprint
             FROM (
               SELECT doc_id,
                      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
@@ -470,7 +482,7 @@ def oracle_sql() -> dict[str, str]:
             qn AS (SELECT sum(v * v) AS qn2 FROM q)
             SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cosine
             FROM dots, qn
-            ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id ASC
+            ORDER BY round(dot / (sqrt(n2) * sqrt(qn2)), 4) DESC, vec_id ASC
             LIMIT 10
         """,
     }

@@ -50,17 +50,29 @@ def passthrough_docs(docs: DataFrame) -> DataFrame:
 
 
 def span_violations(input_docs: DataFrame, output_docs: DataFrame) -> DataFrame:
-    """Docs whose output span sequence differs from the input's."""
-    a = input_docs.select("doc_id", F.col("spans").alias("spans_in"))
-    b = output_docs.select("doc_id", F.col("spans").alias("spans_out"))
-    joined = a.join(b, "doc_id", "full_outer")
-    same = (
-        F.coalesce(F.col("spans_in"), F.array()) == F.coalesce(F.col("spans_out"), F.array())
-    ) & F.col("spans_in").isNotNull() & F.col("spans_out").isNotNull()
-    empty_both = (
-        F.col("spans_in").isNotNull()
-        & F.col("spans_out").isNotNull()
-        & (F.size("spans_in") == 0)
-        & (F.size("spans_out") == 0)
+    """Docs whose output span sequence differs from the input's.
+
+    NULL and empty-array span lists are equivalent: ``explode_outer`` +
+    ``collect_list`` in ``passthrough_docs`` canonically reproduce a NULL
+    input as an empty array, which is not a violation — only a *present doc
+    whose sequence changed* or a *doc missing from one side* is.  Presence
+    is tracked with explicit marker columns because after the full-outer
+    join a NULL ``spans`` column cannot distinguish "row absent" from
+    "row present with NULL spans".
+    """
+    a = input_docs.select(
+        "doc_id", F.col("spans").alias("spans_in"), F.lit(True).alias("in_present")
     )
-    return joined.where(~(same | empty_both))
+    b = output_docs.select(
+        "doc_id", F.col("spans").alias("spans_out"), F.lit(True).alias("out_present")
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    ok = (
+        F.col("in_present").isNotNull()
+        & F.col("out_present").isNotNull()
+        & (
+            F.coalesce(F.col("spans_in"), F.array())
+            == F.coalesce(F.col("spans_out"), F.array())
+        )
+    )
+    return joined.where(~ok)

@@ -55,8 +55,16 @@ def cosine_topk(
     )
 
 
-def cosine_topk_np(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
-    """Arrow/NumPy brute force: per-batch matrix-vector product."""
+def cosine_topk_np(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Arrow/NumPy brute force: per-batch matrix-vector product.
+
+    Scores are rounded *before* ranking (same rule as ``cosine_topk`` and
+    the DuckDB oracle) so the selected top-k set is deterministic under
+    rounding ties; the per-batch prune keeps all tied rows (keep='all') so
+    the global tie-break (vec_id asc) sees every candidate.
+    """
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
 
@@ -65,9 +73,9 @@ def cosine_topk_np(embeddings: DataFrame, query_vec: list[float], k: int = 10) -
 
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            sims = np.round((m @ q) / (np.linalg.norm(m, axis=1) * qn), round_to)
             out = pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": sims})
-            yield out.nlargest(min(k, len(out)), "cosine")  # per-batch prune
+            yield out.nlargest(min(k, len(out)), "cosine", keep="all")  # per-batch prune
 
     partial = embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, cosine double"

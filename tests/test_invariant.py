@@ -25,6 +25,25 @@ def test_violation_detected_on_mutation(spark):
     assert span_violations(docs, passthrough_docs(mutated)).count() == n_with_media
 
 
+def test_null_spans_equivalent_to_empty(spark):
+    """A NULL spans column round-trips as an empty array — not a violation
+    (ADVICE r1: explode_outer + collect_list drops the NULL placeholder)."""
+    from kg.synth import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("doc-null", None), ("doc-empty", [])], DOCS_SCHEMA
+    )
+    out = passthrough_docs(docs)
+    assert out.count() == 2
+    assert span_violations(docs, out).count() == 0
+
+
+def test_missing_doc_is_a_violation(spark):
+    docs = docs_to_df(spark, synth_docs(10))
+    out = passthrough_docs(docs).where(F.col("doc_id") != "doc-00000003")
+    assert span_violations(docs, out).count() == 1
+
+
 def test_violation_detected_on_reorder(spark):
     docs = docs_to_df(spark, synth_docs(10))
     # swap offsets of first two spans in multi-span docs

@@ -86,3 +86,20 @@ def test_pivot_row_sums_match_counts(spark):
 def test_percentiles_ordered(spark):
     for r in R.value_percentiles(spark, "/root/testdata/sf0.001").collect():
         assert r.vmin <= r.p50 <= r.p90 <= r.vmax
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """HLL tolerance gate (VERDICT r1 item 8): approx_count_distinct's
+    default rsd is 0.05; assert the realized relative error stays <= 5%
+    per event_type against the exact count on real testdata."""
+    exact = {
+        r.event_type: r.n_users
+        for r in R.distinct_users(spark, "/root/testdata/sf0.01").collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in R.approx_distinct_users(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)

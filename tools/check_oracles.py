@@ -54,9 +54,11 @@ def main():
             continue
         try:
             df = fn(spark, sf_dir)
-            srows = df.collect()
-            scols = df.columns
-            sn, sh = table_hash(scols, [tuple(r) for r in srows])
+            spdf = df.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
+            scols = list(spdf.columns)
+            sdtypes = {c: str(t) for c, t in spdf.dtypes.items()}
+            sn, sh = table_hash(scols, srows)
         except Exception as exc:  # noqa: BLE001
             print(f"{name:24s} SPARK-ERROR {type(exc).__name__}: {exc}")
             failures.append(name)
@@ -65,16 +67,30 @@ def main():
             print(f"{name:24s} rows-only   rows={sn}")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            dn, dh = table_hash(dcols, drows)
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            ddtypes = {c: str(t) for c, t in ddf.dtypes.items()}
+            dn, dh = table_hash(dcols, [tuple(r) for r in ddf.itertuples(index=False)])
         except Exception as exc:  # noqa: BLE001
             print(f"{name:24s} DUCKDB-ERROR {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
-        ok = (sn == dn) and (sh == dh) and (sorted(scols) == sorted(dcols))
-        print(f"{name:24s} {'OK ' if ok else 'MISMATCH'} rows={sn}/{dn} hash={sh}/{dh} cols={sorted(scols)==sorted(dcols)}")
+        # the driver's canonicalizer hashes *pandas* frames, so dtype drift
+        # (DuckDB HUGEINT -> object, int32 vs int64) is a real failure even
+        # when the stringified values agree — compare dtypes explicitly.
+        dtype_ok = sdtypes == ddtypes
+        ok = (sn == dn) and (sh == dh) and (sorted(scols) == sorted(dcols)) and dtype_ok
+        print(
+            f"{name:24s} {'OK ' if ok else 'MISMATCH'} rows={sn}/{dn} "
+            f"hash={sh}/{dh} cols={sorted(scols) == sorted(dcols)} dtypes={dtype_ok}"
+        )
+        if not dtype_ok:
+            diff = {
+                c: (sdtypes.get(c), ddtypes.get(c))
+                for c in set(sdtypes) | set(ddtypes)
+                if sdtypes.get(c) != ddtypes.get(c)
+            }
+            print(f"{'':24s}   dtype diff: {diff}")
         if not ok:
             failures.append(name)
     spark.stop()
