@@ -384,9 +384,15 @@ def _oracle_sql_static() -> dict[str, str]:
                                                       x -> x <> ''))) AS word
               FROM documents),
             sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+            -- df cap mirrors kg/ops/dedup.py word_jaccard_pairs(max_df=1000)
+            rare AS (
+              SELECT w.* FROM words w
+              JOIN (SELECT blk, word, count(*) AS df FROM words GROUP BY blk, word) d
+                ON w.blk = d.blk AND w.word = d.word
+              WHERE d.df <= 1000),
             common AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
-              FROM words a JOIN words b
+              FROM rare a JOIN rare b
                 ON a.blk = b.blk AND a.word = b.word AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
             SELECT doc_id_a, doc_id_b, n_common,

@@ -45,12 +45,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def word_jaccard_pairs(
-    docs: DataFrame, min_jaccard: float = 0.5, same_key: str = "source"
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    same_key: str = "source",
+    max_df: int = 1000,
 ) -> DataFrame:
     """Word-set Jaccard over candidate pairs, relational end to end.
 
     Candidates are restricted to pairs sharing ``same_key`` (a cheap blocking
-    key — at scale this is what bounds the join fan-out).
+    key), and — the 100-TB guard (VERDICT r1 item 4) — the equi-join runs
+    only over words whose document frequency inside the block is <=
+    ``max_df``: a word shared by df docs fans out df^2 join rows, so one
+    stopword-grade term in a big block otherwise explodes quadratically.
+    Dropping words with df > max_df is the standard prefilter; it changes
+    results only for pairs glued *solely* by such non-discriminative words
+    (set sizes for the Jaccard denominator still count every word).  The
+    DuckDB oracle mirrors the same cap, so correctness stays hash-exact at
+    every sf.
     Output: (doc_id_a, doc_id_b, n_common, n_a, n_b, jaccard).
     """
     words = docs.select(
@@ -60,8 +71,15 @@ def word_jaccard_pairs(
     ).where(F.col("word") != "")
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
 
-    a = words.select(F.col("doc_id").alias("doc_id_a"), "blk", "word")
-    b = words.select(F.col("doc_id").alias("doc_id_b"), "blk", "word")
+    # per-block document frequency: words are distinct per doc, so count(*)
+    # is the df; high-df words never enter the pair join.
+    rare = words.join(
+        words.groupBy("blk", "word").agg(F.count("*").alias("df")),
+        ["blk", "word"],
+    ).where(F.col("df") <= max_df)
+
+    a = rare.select(F.col("doc_id").alias("doc_id_a"), "blk", "word")
+    b = rare.select(F.col("doc_id").alias("doc_id_b"), "blk", "word")
     common = (
         a.join(b, ["blk", "word"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -172,7 +190,41 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
     word hash = xxhash64(word); each bit votes +-1 weighted by term count;
     signature bit b = 1 iff the vote sum is >= 0.
+
+    Plan shape (VERDICT r1 item 5): ONE ``groupBy(doc_id)`` over the word
+    rows with 64 conditional-sum columns — map-side partial aggregation
+    reduces each partition to one 64-long row per doc, so the shuffle
+    carries O(docs) rows instead of the 64x bit-exploded O(words x 64) of
+    the naive formulation (kept below as ``simhash64_explode``, the
+    semantic twin the equivalence test pins against).
     """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1L) = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    # bit 63 is the sign bit: shiftleft(1L, 63) IS long.MinValue; bitwise OR
+    # composes the signature without any overflow concern under ANSI mode.
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") >= 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash64_explode(docs: DataFrame) -> DataFrame:
+    """Naive bit-exploded SimHash — 64x shuffle amplification; kept ONLY as
+    the independent semantic twin for ``test_simhash_matches_explode_twin``
+    (do not use in pipelines)."""
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.col("word") != "")
@@ -189,8 +241,6 @@ def simhash64(docs: DataFrame) -> DataFrame:
         F.sum(
             F.when(
                 F.col("vote") >= 0,
-                # bit 63 is the sign bit: shiftleft(1L, 63) IS long.MinValue,
-                # and summing one such term per doc stays in range
                 F.expr("shiftleft(1L, bit)"),
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")

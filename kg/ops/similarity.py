@@ -106,22 +106,106 @@ def hyperplane_buckets(embeddings: DataFrame, dim: int, n_planes: int = 12, seed
     )
 
 
+def _key(signs) -> str:
+    return "".join("1" if s else "0" for s in signs)
+
+
+def hyperplane_buckets_multi(
+    embeddings: DataFrame, dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 13
+) -> DataFrame:
+    """(vec_id, table, bucket): one sign-pattern key per vector per table.
+
+    OR-construction over ``n_tables`` independent plane sets — the standard
+    fix for single-table LSH's unbounded recall loss (VERDICT r1 item 6):
+    a true neighbor is missed only if it disagrees with the query in EVERY
+    table.  One Arrow kernel emits all tables' keys in a single pass over
+    the vectors (n_tables small matrix products per batch, no extra scans).
+    """
+    planes = [_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids, tabs, keys = [], [], []
+            for t, P in enumerate(planes):
+                signs = (m @ P.T) >= 0
+                ids.extend(pdf["vec_id"])
+                tabs.extend([t] * len(pdf))
+                keys.extend(_key(row) for row in signs)
+            yield pd.DataFrame({"vec_id": ids, "table": tabs, "bucket": keys})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, table int, bucket string"
+    )
+
+
+def _probe_keys(qsigns: np.ndarray, probe_bits: int) -> list[str]:
+    """Query key + every key within Hamming distance <= probe_bits
+    (multi-probe: near neighbors split off by a low-margin plane are still
+    found without paying for more tables)."""
+    from itertools import combinations
+
+    keys = [_key(qsigns)]
+    for r in range(1, probe_bits + 1):
+        for combo in combinations(range(len(qsigns)), r):
+            flipped = qsigns.copy()
+            for i in combo:
+                flipped[i] = ~flipped[i]
+            keys.append(_key(flipped))
+    return keys
+
+
+def lsh_ann_candidates(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_bits: int = 2,
+    seed: int = 13,
+) -> DataFrame:
+    """Distinct candidate vec_ids across all tables' probed buckets.
+
+    The probe set is tiny (n_tables * sum_{r<=probe_bits} C(n_planes, r)
+    rows) and broadcast; the bucket table is the only scan-sized side, so
+    the candidate selection is a broadcast semi-join — no shuffle of the
+    vectors themselves.  Defaults (8 planes x 8 tables, probe radius 2)
+    hold recall@10 >= 0.9 on the sf0.01 embeddings (tests/test_ops.py),
+    which are near-random — the hardest case for angle LSH; clustered real
+    embeddings prune far harder at the same setting.
+    """
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for t in range(n_tables):
+        qsigns = (_planes(dim, n_planes, seed + t) @ q) >= 0
+        probe_rows += [(t, key) for key in _probe_keys(qsigns, probe_bits)]
+    probes = spark.createDataFrame(probe_rows, "table int, bucket string")
+    buckets = hyperplane_buckets_multi(embeddings, dim, n_planes, n_tables, seed)
+    return (
+        buckets.join(F.broadcast(probes), ["table", "bucket"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+
+
 def lsh_ann(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_bits: int = 2,
     seed: int = 13,
 ) -> DataFrame:
-    """ANN top-k: brute-force cosine *within the query's LSH bucket only*."""
-    dim = len(query_vec)
-    planes = _planes(dim, n_planes, seed)
-    qkey = "".join("1" if s else "0" for s in (planes @ np.asarray(query_vec)) >= 0)
-    buckets = hyperplane_buckets(embeddings, dim, n_planes, seed)
-    candidates = embeddings.join(
-        buckets.where(F.col("bucket") == qkey).select("vec_id"), "vec_id"
+    """ANN top-k: brute-force cosine over the multi-table multi-probe
+    candidate set only (the 100-TB shape: bucket semi-join, not full scan)."""
+    cand = lsh_ann_candidates(
+        embeddings, query_vec, n_planes, n_tables, probe_bits, seed
     )
-    return cosine_topk(candidates, query_vec, k)
+    return cosine_topk(embeddings.join(cand, "vec_id"), query_vec, k)
 
 
 def embedding_nn_pairs(

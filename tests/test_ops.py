@@ -12,7 +12,7 @@ from kg.ops.dedup import (
     word_jaccard_pairs,
 )
 from kg.ops.multimodal import FEATURE_DIM, decode_image, extract_features, media_table
-from kg.ops.similarity import cosine_topk, cosine_topk_np, hyperplane_buckets, lsh_ann
+from kg.ops.similarity import cosine_topk, cosine_topk_np, lsh_ann
 from kg.ops.textstats import fingerprint, lang_id, quality_score, token_counts
 
 SF = "/root/testdata/sf0.001"
@@ -70,6 +70,17 @@ def test_simhash_similar_docs_have_close_hashes(spark):
     assert hamming(h[1], h[2]) < hamming(h[2], h[3])
 
 
+def test_simhash_matches_explode_twin(spark, docs):
+    """Fixed-point gate for the shuffle-lean rewrite (VERDICT r1 item 5):
+    the single-groupBy 64-conditional-sum plan must emit bit-identical
+    signatures to the naive bit-exploded formulation on real testdata."""
+    from kg.ops.dedup import simhash64_explode
+
+    new = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    old = {r.doc_id: r.simhash for r in simhash64_explode(docs).collect()}
+    assert new == old and len(new) == docs.count()
+
+
 def test_word_jaccard_pairs_finds_planted_pair(spark):
     rows = [
         (1, "a b c d e", "s1"),
@@ -83,6 +94,33 @@ def test_word_jaccard_pairs_finds_planted_pair(spark):
     p = pairs[0]
     assert p.n_common == 4 and p.n_a == 5 and p.n_b == 5
     assert abs(p.jaccard - 4 / 6) < 1e-12
+
+
+def test_word_jaccard_df_cap_bounds_hot_word_fanout(spark):
+    """Planted stopword-grade term (VERDICT r1 item 4): with max_df set, a
+    word present in every doc of a block must not glue pairs by itself, and
+    pairs matched on discriminative words still come out exact (the cap
+    filters the join side only — set sizes keep every word)."""
+    hot = "the"
+    rows = [(i, f"{hot} u{i} v{i} w{i}", "s1") for i in range(1, 9)]
+    rows += [(100, f"{hot} p q r", "s1"), (101, f"{hot} p q r", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    pairs = word_jaccard_pairs(df, min_jaccard=0.5, max_df=5).collect()
+    # only the genuinely similar pair survives; the 8 hot-word-only docs
+    # produce zero of their C(8,2)=28 potential pairs
+    assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [(100, 101)]
+    p = pairs[0]
+    # n_common counts only join-eligible words (p,q,r — 'the' is capped) but
+    # sizes still count all 4 words, so jaccard = 3/(4+4-3)
+    assert p.n_common == 3 and p.n_a == 4 and p.n_b == 4
+    assert abs(p.jaccard - 3 / 5) < 1e-12
+
+    # without the cap the hot word glues nothing above min_jaccard here, but
+    # the join itself fans out: sanity that capped output == uncapped output
+    # when every df <= max_df (semantics preserved below the cap)
+    uncapped = word_jaccard_pairs(df, min_jaccard=0.5, max_df=10**9).collect()
+    assert {(p.doc_id_a, p.doc_id_b) for p in uncapped} >= {(100, 101)}
 
 
 def test_cosine_topk_matches_numpy(spark, embeddings):
@@ -107,15 +145,34 @@ def test_cosine_topk_np_agrees_with_jvm_path(spark, embeddings):
     assert a == b
 
 
-def test_lsh_ann_returns_query_bucket_subset(spark, embeddings):
+def test_lsh_ann_candidates_subset_and_self_hit(spark, embeddings):
+    from kg.ops.similarity import lsh_ann_candidates
+
     q = [float(x) for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    ann = lsh_ann(embeddings, q, k=10, n_planes=6).collect()
-    assert any(r.vec_id == 0 for r in ann)  # query vec always in own bucket
-    assert all(r.cosine <= 1.0001 for r in ann)
-    # candidates strictly from one bucket
-    buckets = hyperplane_buckets(embeddings, len(q), n_planes=6)
-    n_bucket = buckets.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
-    assert len(ann) <= max(10, n_bucket)
+    cand = {r.vec_id for r in lsh_ann_candidates(embeddings, q).collect()}
+    assert 0 in cand  # query vector always probes its own buckets
+    ann = lsh_ann(embeddings, q, k=10).collect()
+    assert ann[0].vec_id == 0 and ann[0].cosine == 1.0
+    assert {r.vec_id for r in ann} <= cand
+
+
+def test_lsh_ann_recall_at_10_vs_exact(spark):
+    """Recall gate (VERDICT r1 item 6): multi-table (8) multi-probe (r=2)
+    LSH must recover >= 90% of the exact top-10 on the sf0.01 embeddings —
+    near-random vectors, the adversarial case — while pruning part of the
+    scan (candidates < N)."""
+    from kg.ops.similarity import lsh_ann_candidates
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    for qid in (0, 1, 2):
+        q = [float(x) for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+        approx = {r.vec_id for r in lsh_ann(emb, q, k=10).collect()}
+        recall = len(exact & approx) / 10
+        assert recall >= 0.9, (qid, recall)
+        n_cand = lsh_ann_candidates(emb, q).count()
+        assert n_cand < n, (qid, n_cand, n)
 
 
 def test_embedding_nn_pairs_lsh_subset_of_exact(spark, embeddings):
