@@ -2,11 +2,17 @@
 
 ``entry(spark)`` runs the flagship KG query end-to-end on sf0.001.
 ``queries()`` exposes every implemented operator (SURVEY.md §2 + the
-training-data ops); each SQL-expressible one has a matching DuckDB oracle in
-``oracle_sql()``; genuinely non-SQL ops (tokenizing mention detection,
-MinHash clustering, LSH ANN, SimHash, media kernels) are rows-only checks
-backed by exact-parity pytest gates against the single-node oracle
-(tests/test_parity.py).
+training-data ops).  Every deterministic query — including the full KG
+pipeline: mention extraction, REL_WINDOW triple pairing, MinHash/LSH/CC
+entity linking, node/edge materialization, keyphrases — has a DuckDB oracle
+in ``oracle_sql()`` (the KG ones read driver-side dimension parquets, see
+kg/oracle_tables.py).  The remaining rows-only entries are each justified:
+``approx_distinct_users`` / ``ann_lsh`` / ``embedding_nn_pairs_lsh`` are
+approximate BY DESIGN (gated by a 5% HLL tolerance test, a recall@10 >= 0.9
+test, and a subset-of-exact test respectively), ``simhash`` depends on
+Spark's xxhash64 which DuckDB cannot reproduce (gated by an equivalence
+test against the bit-exploded twin), and ``media_features`` wraps the
+declared decode stub (gated by a determinism test).
 """
 
 from __future__ import annotations
@@ -198,7 +204,340 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different execution strategy (Arrow/NumPy kernel
     # vs JVM higher-order functions): same oracle applies to both.
     o["cosine_topk_np"] = o["cosine_topk"]
+    o["minhash_clusters"] = _minhash_clusters_sql()
+    o.update(_kg_oracle_sqls())
     return o
+
+
+def _minhash_clusters_sql() -> str:
+    """DuckDB replay of kg/ops/dedup.py minhash_clusters on ``documents``:
+    word-2-gram shingles (char-polynomial hash via list_reduce — iterated
+    (acc*131+cp) % P, identical to the Python fold), 32 MinHashes (seed 11),
+    8-band LSH keys, bucket cap 100, exact-Jaccard verify >= 0.6, and
+    connected components as a recursive-CTE transitive closure with
+    min-label canonicalization (components are small by construction —
+    near-duplicate clusters)."""
+    from kg.linking import _hash_params
+
+    a_params, b_params = _hash_params(num_hashes=32, seed=11)
+    hash_values = ", ".join(
+        f"({i}, {int(a_params[i])}::bigint, {int(b_params[i])}::bigint)"
+        for i in range(32)
+    )
+    two61 = 1 << 61
+    return f"""
+        WITH RECURSIVE
+        words AS (
+          SELECT doc_id::varchar AS doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i + 1]
+                      ELSE ws[i] END AS gram
+          FROM (SELECT doc_id, ws,
+                       unnest(range(1, CASE WHEN len(ws) >= 2 THEN len(ws)
+                                            ELSE len(ws) + 1 END)) AS i
+                FROM words)),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 list_reduce(
+                   list_transform(regexp_split_to_array(gram, ''),
+                                  c -> unicode(c)::bigint),
+                   (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+          FROM grams),
+        params(i, ha, hb) AS (VALUES {hash_values}),
+        sig AS (
+          SELECT doc_id, i, min((ha * h + hb) % 2147483647) AS v
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        bandv AS (SELECT doc_id, i // 4 AS band, i % 4 AS pos, v FROM sig),
+        keys AS (
+          SELECT doc_id, band,
+                 band || ':' || printf('%x', ((
+                   (max(CASE WHEN pos = 0 THEN v END)::hugeint
+                      * 1000003 * 1000003 * 1000003) % {two61}
+                   + (max(CASE WHEN pos = 1 THEN v END)::hugeint
+                      * 1000003 * 1000003) % {two61}
+                   + (max(CASE WHEN pos = 2 THEN v END)::hugeint * 1000003) % {two61}
+                   + max(CASE WHEN pos = 3 THEN v END)::hugeint
+                 ) % {two61})::bigint) AS bucket
+          FROM bandv GROUP BY doc_id, band),
+        sized AS (
+          SELECT k.doc_id, k.bucket FROM keys k
+          JOIN (SELECT bucket, count(*) AS bsz FROM keys GROUP BY bucket) s
+            USING (bucket)
+          WHERE s.bsz <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS m1, b.doc_id AS m2
+          FROM sized a JOIN sized b USING (bucket)
+          WHERE a.doc_id < b.doc_id),
+        shc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT p.m1, p.m2, count(*) AS n_common
+          FROM cand p
+          JOIN sh s1 ON s1.doc_id = p.m1
+          JOIN sh s2 ON s2.doc_id = p.m2 AND s1.h = s2.h
+          GROUP BY p.m1, p.m2),
+        jedges AS (
+          SELECT c.m1, c.m2
+          FROM common c
+          JOIN shc c1 ON c1.doc_id = c.m1
+          JOIN shc c2 ON c2.doc_id = c.m2
+          WHERE n_common::double / (c1.n + c2.n - n_common) >= 0.6),
+        sym AS (SELECT m1 AS src, m2 AS dst FROM jedges
+                UNION SELECT m2, m1 FROM jedges),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """
+
+
+def _kg_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the KG stages (VERDICT r1 item 3).
+
+    The synthetic corpus and the per-word tokenization are materialized as
+    parquet dimension tables by kg/oracle_tables.py (driver-side Python +
+    pyarrow — no Spark); the SQL below then independently re-derives the
+    relational heart of the extract stage: whitespace segment parse,
+    rsplit-once word/tag split (reference ner/dataset.py:38,44), cumulative
+    context-token offsets, the truncation guard
+    ctx_limit = min(|context|, MAX_LEN-1-|query|) with spans whose end
+    crosses it silently dropped (ner/dataset.py:57,65-66,74-75), the
+    REL_WINDOW in-sentence pairing rule (kg/config.py), and the keyphrase
+    TF/top-k.  The driver compares at sf=0.01 — these oracles are pinned to
+    that corpus size.
+    """
+    from kg.config import (
+        LINK_JACCARD,
+        LSH_BANDS,
+        MAX_LEN,
+        NUM_HASHES,
+        REL_WINDOW,
+        TAGS,
+    )
+    from kg.linking import _hash_params
+    from kg.oracle import build_tag2query
+    from kg.oracle_tables import ensure_kg_oracle_tables
+
+    n_docs = sf_to_n_docs(0.01)  # the driver's correctness sf
+    paths = ensure_kg_oracle_tables(
+        n_docs, seed=42, fingerprint=_code_fingerprint(), vocab=_vocab()
+    )
+    t2q = build_tag2query(_vocab())
+    qlen_values = ", ".join(f"('{t}', {len(ids)})" for t, ids in sorted(t2q.items()))
+    tags_in = ", ".join(f"'{t}'" for t in TAGS)
+
+    # shared parse: text -> ordered (word, tag) segments with token counts
+    parse_cte = f"""
+        segs AS (
+          SELECT doc_id, sent_offset,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS seg,
+                 generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS seg_idx
+          FROM read_parquet('{paths["flat"]}')),
+        parsed AS (
+          SELECT doc_id, sent_offset, seg_idx,
+                 CASE WHEN contains(seg, '/')
+                      THEN regexp_extract(seg, '^(.*)/[^/]*$', 1)
+                      ELSE '' END AS word,
+                 regexp_extract(seg, '([^/]*)$', 1) AS tag
+          FROM segs WHERE seg <> '')"""
+
+    mentions_ctes = f"""{parse_cte},
+        toks AS (
+          SELECT p.*, w.n_tok, w.surface
+          FROM parsed p JOIN read_parquet('{paths["words"]}') w USING (word)),
+        pos AS (
+          SELECT doc_id, sent_offset, tag, n_tok, surface,
+                 coalesce(sum(n_tok) OVER (
+                     PARTITION BY doc_id, sent_offset ORDER BY seg_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start,
+                 sum(n_tok) OVER (PARTITION BY doc_id, sent_offset) AS ctx_len
+          FROM toks),
+        m AS (
+          SELECT doc_id, sent_offset, tag,
+                 tok_start::int AS start, (tok_start + n_tok - 1)::int AS "end",
+                 surface AS mention
+          FROM pos JOIN (VALUES {qlen_values}) AS q(tag, qlen) USING (tag)
+          WHERE n_tok >= 1
+            AND tok_start + n_tok - 1 < least(ctx_len, {MAX_LEN} - 1 - qlen))"""
+
+    triples_select = f"""
+          SELECT a.mention AS subj,
+                 'rel_' || a.tag || '_' || b.tag AS pred,
+                 b.mention AS obj,
+                 a.doc_id, a.sent_offset
+          FROM m a JOIN m b
+            ON a.doc_id = b.doc_id AND a.sent_offset = b.sent_offset
+           AND b.start > a."end" AND b.start - a."end" <= {REL_WINDOW}"""
+
+    # --- entity-linking replay (kg/linking.py semantics, closed-form SQL) ---
+    # All hash constants are explicit modular arithmetic shared with the
+    # Spark kernels; with SHINGLE_K=3 the char-polynomial hash expands to a
+    # fixed 3-term expression, the MinHash (a*h+b) % P fits bigint, and the
+    # band fold fits hugeint — so the whole LSH+verify+CC stage is exact SQL.
+    a_params, b_params = _hash_params()
+    hash_values = ", ".join(
+        f"({i}, {int(a_params[i])}::bigint, {int(b_params[i])}::bigint)"
+        for i in range(NUM_HASHES)
+    )
+    rows_per_band = NUM_HASHES // LSH_BANDS
+    two61 = 1 << 61
+    gram_hash = """
+          (unicode(substring(gram, 1, 1))::bigint
+             * (CASE length(gram) WHEN 3 THEN 17161 WHEN 2 THEN 131 ELSE 1 END)
+           + CASE WHEN length(gram) >= 2
+                  THEN unicode(substring(gram, 2, 1))::bigint
+                       * (CASE WHEN length(gram) = 3 THEN 131 ELSE 1 END)
+                  ELSE 0 END
+           + CASE WHEN length(gram) = 3
+                  THEN unicode(substring(gram, 3, 1))::bigint ELSE 0 END)
+          % 2147483647"""
+    linking_ctes = f"""
+        dm AS (SELECT DISTINCT mention FROM m),
+        grams AS (
+          SELECT mention,
+                 CASE WHEN length(mention) >= 3
+                      THEN substring(mention, i, 3) ELSE mention END AS gram
+          FROM (SELECT mention,
+                       unnest(range(1, CASE WHEN length(mention) >= 3
+                                            THEN length(mention) - 1 ELSE 2 END)) AS i
+                FROM dm)),
+        sh AS (SELECT DISTINCT mention, ({gram_hash}) AS h FROM grams),
+        params(i, ha, hb) AS (VALUES {hash_values}),
+        sig AS (
+          SELECT mention, i, min((ha * h + hb) % 2147483647) AS v
+          FROM sh CROSS JOIN params GROUP BY mention, i),
+        bandv AS (
+          SELECT mention, i // {rows_per_band} AS band,
+                 i % {rows_per_band} AS pos, v
+          FROM sig),
+        keys AS (
+          SELECT mention, band,
+                 band || ':' || printf('%x', ((
+                   (max(CASE WHEN pos = 0 THEN v END)::hugeint
+                      * 1000003 * 1000003 * 1000003) % {two61}
+                   + (max(CASE WHEN pos = 1 THEN v END)::hugeint
+                      * 1000003 * 1000003) % {two61}
+                   + (max(CASE WHEN pos = 2 THEN v END)::hugeint * 1000003) % {two61}
+                   + max(CASE WHEN pos = 3 THEN v END)::hugeint
+                 ) % {two61})::bigint) AS bucket
+          FROM bandv GROUP BY mention, band),
+        sized AS (
+          SELECT k.mention, k.bucket FROM keys k
+          JOIN (SELECT bucket, count(*) AS bsz FROM keys GROUP BY bucket) s
+            USING (bucket)
+          WHERE s.bsz <= 200),
+        cand AS (
+          SELECT DISTINCT a.mention AS m1, b.mention AS m2
+          FROM sized a JOIN sized b USING (bucket)
+          WHERE a.mention < b.mention),
+        shc AS (SELECT mention, count(*) AS n FROM sh GROUP BY mention),
+        common AS (
+          SELECT p.m1, p.m2, count(*) AS n_common
+          FROM cand p
+          JOIN sh s1 ON s1.mention = p.m1
+          JOIN sh s2 ON s2.mention = p.m2 AND s1.h = s2.h
+          GROUP BY p.m1, p.m2),
+        jedges AS (
+          SELECT c.m1, c.m2
+          FROM common c
+          JOIN shc c1 ON c1.mention = c.m1
+          JOIN shc c2 ON c2.mention = c.m2
+          WHERE n_common::double / (c1.n + c2.n - n_common) >= {LINK_JACCARD}),
+        sym AS (SELECT m1 AS src, m2 AS dst FROM jedges
+                UNION SELECT m2, m1 FROM jedges),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS mention, least(src, min(dst)) AS canonical
+          FROM reach GROUP BY src),
+        linked AS (
+          SELECT d.mention, coalesce(c.canonical, d.mention) AS canonical
+          FROM dm d LEFT JOIN comp c USING (mention))"""
+
+    edges_ctes = f"""{mentions_ctes}, {linking_ctes},
+        t AS ({triples_select}),
+        ecan AS (
+          SELECT ls.canonical AS subj_c, t.pred, lo.canonical AS obj_c, t.doc_id
+          FROM t
+          JOIN linked ls ON ls.mention = t.subj
+          JOIN linked lo ON lo.mention = t.obj),
+        eg AS (
+          SELECT subj_c, pred, obj_c, doc_id, count(*)::double AS weight
+          FROM ecan GROUP BY subj_c, pred, obj_c, doc_id)"""
+
+    return {
+        "kg_mentions": f"""
+            WITH {mentions_ctes}
+            SELECT doc_id, sent_offset, tag, start, "end", mention FROM m
+        """,
+        "kg_triples": f"""
+            WITH {mentions_ctes}
+            {triples_select}
+        """,
+        "kg_linked": f"""
+            WITH RECURSIVE {mentions_ctes}, {linking_ctes}
+            SELECT mention, canonical FROM linked
+        """,
+        "kg_nodes": f"""
+            WITH RECURSIVE {mentions_ctes}, {linking_ctes},
+            mm AS (SELECT m.mention, m.tag, l.canonical
+                   FROM m JOIN linked l USING (mention)),
+            by_tag AS (SELECT canonical, tag, count(*) AS tag_cnt
+                       FROM mm GROUP BY canonical, tag),
+            modal AS (
+              SELECT canonical, tag AS kind FROM (
+                SELECT canonical, tag,
+                       row_number() OVER (PARTITION BY canonical
+                                          ORDER BY tag_cnt DESC, tag ASC) AS rn
+                FROM by_tag)
+              WHERE rn = 1),
+            cnts AS (SELECT canonical, count(*) AS n_mentions
+                     FROM mm GROUP BY canonical)
+            SELECT substring(sha256(c.canonical), 1, 16) AS entity_id,
+                   c.canonical AS canonical_text, modal.kind, c.n_mentions
+            FROM cnts c JOIN modal USING (canonical)
+        """,
+        "kg_edges": f"""
+            WITH RECURSIVE {edges_ctes}
+            SELECT substring(sha256(subj_c), 1, 16) AS subj, pred,
+                   substring(sha256(obj_c), 1, 16) AS obj, doc_id, weight
+            FROM eg
+        """,
+        "kg_top_pairs": f"""
+            WITH RECURSIVE {edges_ctes}
+            SELECT subj_c AS subj_text, pred, obj_c AS obj_text,
+                   count(DISTINCT doc_id) AS doc_freq,
+                   sum(weight) AS total_weight
+            FROM eg GROUP BY subj_c, pred, obj_c
+            ORDER BY doc_freq DESC, total_weight DESC,
+                     subj_text, obj_text, pred
+            LIMIT 20
+        """,
+        "kg_keyphrases": f"""
+            WITH {parse_cte},
+            tf AS (
+              SELECT doc_id, word AS phrase, count(*) AS freq
+              FROM parsed
+              WHERE tag NOT IN ({tags_in}) AND length(word) >= 2
+              GROUP BY doc_id, word)
+            SELECT doc_id, phrase, freq, rank FROM (
+              SELECT doc_id, phrase, freq,
+                     (row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY freq DESC, phrase ASC))::int AS rank
+              FROM tf)
+            WHERE rank <= 5
+        """,
+        # the expected value IS the empty set: zero span-sequence violations
+        "kg_span_invariant": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id WHERE 1 = 0
+        """,
+    }
 
 
 def _oracle_sql_static() -> dict[str, str]:
