@@ -169,7 +169,26 @@ def verified_edges(pairs: DataFrame, threshold: float = LINK_JACCARD) -> DataFra
     return pairs.mapInPandas(kernel, "m1 string, m2 string, sim double")
 
 
-def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def _committed_cc_iters(catalog, stage_prefix: str, token: str) -> list[int]:
+    import os
+    import re
+
+    out = []
+    pat = re.compile(re.escape(stage_prefix) + r"_iter(\d+)$")
+    for d in os.listdir(catalog.base_dir):
+        m = pat.match(d)
+        if m and catalog.is_complete(d, extra_inputs={"edges": token}):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 25,
+    catalog=None,
+    stage_prefix: str = "cc",
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """Min-label propagation with pointer jumping -> (mention, canonical).
 
     Each iteration does hash-to-min (label(u) <- min over {u} ∪ N(u) of
@@ -177,10 +196,27 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     which cuts rounds from O(component diameter) to O(log diameter) — the
     difference between unusable and fine on adversarial chain graphs at
     scale.  Labels only decrease and stay within the component, so the
-    fixed point is the component minimum either way.  One
-    ``localCheckpoint`` per iteration truncates lineage (SURVEY.md §4);
-    convergence costs one cheap probe on the checkpointed result.
+    fixed point is the component minimum either way.
+
+    Fault tolerance (VERDICT r1 item 7): ``localCheckpoint`` truncates
+    lineage between rounds but is executor-local — an executor loss kills
+    the whole iteration at cluster scale.  When a ``StageCatalog`` is
+    passed, every ``checkpoint_every``-th round (and the converged result)
+    is committed through the catalog keyed by a content fingerprint of the
+    edge set, so a killed job resumes label propagation from the last
+    durable round instead of restarting linking from scratch
+    (tests/test_linking.py::test_cc_resumes_from_iteration_checkpoint).
     """
+    token = None
+    final_stage = f"{stage_prefix}_final"
+    if catalog is not None:
+        row = edges.select(
+            F.bit_xor(F.xxhash64("m1", "m2")).alias("h"), F.count("*").alias("n")
+        ).collect()[0]
+        token = f"{row['n']}:{row['h']}"
+        if catalog.is_complete(final_stage, extra_inputs={"edges": token}):
+            return catalog.read(final_stage)
+
     sym = edges.select(F.col("m1").alias("src"), F.col("m2").alias("dst")).union(
         edges.select(F.col("m2").alias("src"), F.col("m1").alias("dst"))
     )
@@ -189,7 +225,14 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     nodes = sym.select(F.col("src").alias("mention")).distinct()
     labels = nodes.select("mention", F.col("mention").alias("canonical")).localCheckpoint()
 
-    for _ in range(max_iters):
+    start_iter = 0
+    if catalog is not None:
+        done = _committed_cc_iters(catalog, stage_prefix, token)
+        if done:
+            start_iter = done[-1]
+            labels = catalog.read(f"{stage_prefix}_iter{done[-1]:03d}")
+
+    for it in range(start_iter, max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["mention"])
             .groupBy("src")
@@ -220,12 +263,31 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             .localCheckpoint()
         )
         labels = jumped.select("mention", F.col("new_canonical").alias("canonical"))
-        if jumped.where("changed").limit(1).count() == 0:
+        converged = jumped.where("changed").limit(1).count() == 0
+        if (
+            catalog is not None
+            and not converged
+            and (it + 1) % checkpoint_every == 0
+        ):
+            frozen = labels
+            labels = catalog.run(
+                f"{stage_prefix}_iter{it + 1:03d}",
+                lambda: frozen,
+                extra_inputs={"edges": token},
+            )
+        if converged:
             break
+    if catalog is not None:
+        frozen = labels
+        labels = catalog.run(
+            final_stage, lambda: frozen, extra_inputs={"edges": token}
+        )
     return labels
 
 
-def link_mentions(mentions: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame, catalog=None, stage_prefix: str = "cc"
+) -> DataFrame:
     """mentions DF (col ``mention``) -> map (mention, canonical).
 
     Mentions that never met a similar partner map to themselves.
@@ -234,12 +296,15 @@ def link_mentions(mentions: DataFrame) -> DataFrame:
     (bucket sizing, pair self-join, final mapping) — they are materialized
     once (localCheckpoint; at cluster scale: persist or the stage catalog)
     so the scan + MinHash kernel run once, not per branch.
+
+    ``catalog`` (a StageCatalog) makes the CC iteration durably resumable —
+    see ``connected_components``.
     """
     distinct = mentions.select("mention").distinct().localCheckpoint()
     buckets = mention_buckets(distinct).localCheckpoint()
     pairs = candidate_pairs(buckets)
     edges = verified_edges(pairs)
-    comp = connected_components(edges)
+    comp = connected_components(edges, catalog=catalog, stage_prefix=stage_prefix)
     return (
         distinct.join(comp, "mention", "left")
         .select(

@@ -100,8 +100,16 @@ def run_pipeline(
     triples = timed(
         "triples", lambda: triples_table(cat.read("extract")), inputs=["extract"]
     )
+    # CC iterations inside linking checkpoint through the same catalog
+    # (stage names linked_cc_iter*/linked_cc_final): a job killed mid-CC
+    # resumes label propagation from the last durable round when the
+    # "linked" stage itself re-runs.
     linked = timed(
-        "linked", lambda: link_mentions(cat.read("mentions")), inputs=["mentions"]
+        "linked",
+        lambda: link_mentions(
+            cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
+        ),
+        inputs=["mentions"],
     )
     nodes = timed(
         "nodes",

@@ -147,3 +147,69 @@ def test_connected_components_random_graph_matches_union_find(spark):
         comp_min.setdefault(r, []).append(x)
     want_min = {x: min(members) for r, members in comp_min.items() for x in members}
     assert got == want_min
+
+
+def test_cc_resumes_from_iteration_checkpoint(spark, tmp_path):
+    """Kill-between-iterations recovery (VERDICT r1 item 7): with a
+    StageCatalog, every k-th CC round is durably committed keyed by the
+    edge-set fingerprint; a rerun resumes from the last committed round
+    (skips it) instead of restarting propagation, and a rerun after
+    convergence reuses the final stage without recomputing anything."""
+    from kg.catalog import StageCatalog
+
+    n = 40  # chain 0-1-...-40: needs several pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [(f"m{i:03d}", f"m{i + 1:03d}") for i in range(n)], "m1 string, m2 string"
+    )
+    cat1 = StageCatalog(spark, str(tmp_path / "cc"))
+    got1 = {
+        r.mention: r.canonical
+        for r in connected_components(
+            edges, catalog=cat1, checkpoint_every=1
+        ).collect()
+    }
+    assert set(got1.values()) == {"m000"} and len(got1) == n + 1
+    iters1 = [s for s in cat1.executed if "_iter" in s]
+    assert len(iters1) >= 2, "chain must take multiple committed rounds"
+    assert cat1.executed[-1] == "cc_final"
+
+    # simulated kill after the last committed round: a fresh catalog on the
+    # same dir with the final stage wiped must NOT recompute earlier rounds
+    import shutil
+
+    shutil.rmtree(tmp_path / "cc" / "cc_final")
+    cat2 = StageCatalog(spark, str(tmp_path / "cc"))
+    got2 = {
+        r.mention: r.canonical
+        for r in connected_components(
+            edges, catalog=cat2, checkpoint_every=1
+        ).collect()
+    }
+    assert got2 == got1
+    assert [s for s in cat2.executed if "_iter" in s] == []  # all rounds reused
+    assert "cc_final" in cat2.executed
+
+    # converged run: everything (incl. final) reused, zero recompute
+    cat3 = StageCatalog(spark, str(tmp_path / "cc"))
+    got3 = {
+        r.mention: r.canonical
+        for r in connected_components(
+            edges, catalog=cat3, checkpoint_every=1
+        ).collect()
+    }
+    assert got3 == got1 and cat3.executed == []
+
+    # changed edge set: stale rounds must not be reused (token mismatch)
+    edges2 = spark.createDataFrame(
+        [(f"m{i:03d}", f"m{i + 1:03d}") for i in range(n + 2)],
+        "m1 string, m2 string",
+    )
+    cat4 = StageCatalog(spark, str(tmp_path / "cc"))
+    got4 = {
+        r.mention: r.canonical
+        for r in connected_components(
+            edges2, catalog=cat4, checkpoint_every=1
+        ).collect()
+    }
+    assert len(got4) == n + 3 and set(got4.values()) == {"m000"}
+    assert any("_iter" in s for s in cat4.executed)
