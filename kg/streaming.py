@@ -12,6 +12,12 @@ deployment would bolt on, built from the same kernels:
 - ``windowed_event_counts``: watermarked sliding-window aggregation over an
   event stream (late data handled by the watermark) — the standard
   Structured Streaming stateful pattern, tested against its batch twin.
+- ``stateful_sessionize_stream``: CUSTOM stateful operator via
+  ``applyInPandasWithState`` — per-user session assignment whose state
+  (last event time, running session counter, per-session aggregates)
+  survives across micro-batches, so sessions spanning trigger boundaries
+  are stitched correctly.  Its fixed point equals the batch
+  ``kg.relational.sessionize`` (asserted in tests).
 """
 
 from __future__ import annotations
@@ -44,6 +50,72 @@ def stream_extract(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, first_event_id long"
+)
+SESSION_STATE_SCHEMA = (
+    "last_ts_us long, session_id long, n_events long, first_event_id long"
+)
+
+
+def stateful_sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user streaming sessionization with explicit GroupState.
+
+    Semantics match the batch twin ``kg.relational.sessionize`` exactly
+    (events ordered by (ts, event_id) per user; a gap > ``gap_minutes``
+    opens a new session; ``first_event_id`` is the min event id in the
+    session), under the standard streaming assumption that each user's
+    events arrive in order across triggers (within a trigger the kernel
+    sorts).  Each trigger emits the updated aggregate row of every session
+    it touched — the LAST emission per (user_id, session_id) is the final
+    value, so an update-mode sink converges to the batch result.
+
+    State per user is four longs — O(users) state store, no window buffer:
+    this is the applyInPandasWithState shape that scales to 10^9 users
+    (state store is partitioned by the group key and checkpointed by the
+    streaming engine; resuming from the checkpoint resumes the counters).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, sid, n, first = state.get
+        else:
+            last_ts, sid, n, first = None, 0, 0, None
+        touched: dict[int, tuple[int, int]] = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                ts_us = int(ts.value // 1_000)  # pandas ns -> us
+                if last_ts is None or ts_us - last_ts > gap_us:
+                    sid += 1
+                    n = 0
+                    first = int(eid)
+                n += 1
+                first = min(first, int(eid))
+                last_ts = ts_us
+                touched[sid] = (n, first)
+        state.update((last_ts, sid, n, first))
+        yield pd.DataFrame(
+            [(int(user_id), s, cnt, f) for s, (cnt, f) in sorted(touched.items())],
+            columns=["user_id", "session_id", "n_events", "first_event_id"],
+        )
+
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -81,3 +81,82 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("gap_minutes", [30, 10_000])
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path, gap_minutes):
+    """Custom stateful operator (applyInPandasWithState): the last update
+    per (user, session) must equal the batch sessionize exactly; with the
+    long gap, sessions span the trigger boundary and must stitch through
+    the group state."""
+    import os
+    import shutil
+
+    from kg import relational as R
+    from kg.streaming import stateful_sessionize_stream
+
+    batch = spark.read.parquet(EVENTS)
+    bdir = tmp_path / "batchdir"
+    bdir.mkdir()
+    shutil.copy(EVENTS, bdir / "events.parquet")
+    want = sorted(
+        (r.user_id, r.session_id, r.n_events, r.first_event_id)
+        for r in R.sessionize(spark, str(bdir), gap_minutes=gap_minutes).collect()
+    )
+
+    # split mid-history so many sessions straddle the trigger boundary
+    ts_sorted = [r.ts for r in batch.select("ts").orderBy("ts").collect()]
+    cut = ts_sorted[len(ts_sorted) // 2]
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+
+    def dump(df, name):
+        tmp = tmp_path / f"tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(tmp / part, stream_dir / f"{name}.parquet")
+
+    dump(batch.where(F.col("ts") < cut), "f1")
+
+    acc = []
+    stream = spark.readStream.schema(batch.schema).parquet(str(stream_dir))
+    q = (
+        stateful_sessionize_stream(stream, gap_minutes=gap_minutes)
+        .writeStream.foreachBatch(lambda df, bid: acc.append((bid, df.toPandas())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches_first = len(acc)
+        dump(batch.where(F.col("ts") >= cut), "f2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert n_batches_first >= 1 and len(acc) > n_batches_first
+    final = {}
+    for _bid, pdf in sorted(acc, key=lambda t: t[0]):
+        for r in pdf.itertuples(index=False):
+            final[(r.user_id, r.session_id)] = (r.n_events, r.first_event_id)
+    got = sorted((u, s, n, f) for (u, s), (n, f) in final.items())
+    assert got == want
+
+    # cross-boundary stitching actually happened: at least one session was
+    # emitted (updated) in both trigger groups
+    first_keys = {
+        (r.user_id, r.session_id)
+        for bid, pdf in acc[:n_batches_first]
+        for r in pdf.itertuples(index=False)
+    }
+    later_keys = {
+        (r.user_id, r.session_id)
+        for bid, pdf in acc[n_batches_first:]
+        for r in pdf.itertuples(index=False)
+    }
+    if gap_minutes > 30:
+        assert first_keys & later_keys, "no session crossed the trigger boundary"
