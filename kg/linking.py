@@ -207,6 +207,12 @@ def connected_components(
     durable round instead of restarting linking from scratch
     (tests/test_linking.py::test_cc_resumes_from_iteration_checkpoint).
     """
+    # Materialize the edge set ONCE up front: it is scanned by the content
+    # fingerprint below AND by both union branches of the symmetrization —
+    # without this the upstream lineage (LSH candidate join + Jaccard
+    # verify kernel) would re-execute per scan.
+    edges = edges.localCheckpoint()
+
     token = None
     final_stage = f"{stage_prefix}_final"
     if catalog is not None:
