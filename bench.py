@@ -47,7 +47,10 @@ def bench_kg(spark, sf_dir: str, n_docs: int | None = None) -> dict:
         # overhead amortizes and throughput reflects steady state
         n_docs = int(os.environ.get("SPARK_KG_BENCH_DOCS", "0")) or sf_to_n_docs(sf) * 10
     vocab = corpus_vocab()  # excluded from timing: amortized dictionary build
-    base = tempfile.mkdtemp(prefix="kg_bench_")
+    # tmpfs for checkpoints: same rationale as the scaling runs (BENCH.md) —
+    # the VM's single virtual disk is not the resource being benchmarked
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="kg_bench_", dir=shm)
     try:
         t0 = time.perf_counter()
         res = run_pipeline(
@@ -158,16 +161,24 @@ def scaling_worker() -> None:
     from kg.synth import corpus_vocab, synth_docs_df
 
     cores = int(os.environ["SPARK_KG_SCALE_CORES"])
-    n_docs = int(os.environ.get("SPARK_KG_SCALE_DOCS", "1000000"))
+    n_docs = int(os.environ.get("SPARK_KG_SCALE_DOCS", "4000000"))
     repeats = int(os.environ.get("SPARK_KG_SCALE_REPEATS", "2"))
     parts = cores * 2
+    # Stage checkpoints and shuffle spill go to tmpfs: this VM's single
+    # virtual disk is a fixed-bandwidth resource that does NOT scale with
+    # cores, whereas on a real cluster both land on distributed storage
+    # whose aggregate bandwidth grows with the executor count — tmpfs is
+    # the representative stand-in for the N-vs-4N comparison (BENCH.md).
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_", dir=shm)
+    local_dir = tempfile.mkdtemp(prefix=f"kg_scale_sl_{cores}_", dir=shm)
     spark = get_spark(
         app_name=f"kg-scale-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=parts,
+        extra_conf={"spark.local.dir": local_dir},
     )
     vocab = corpus_vocab()
-    base = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
     # untimed warm-up: small pipeline warms python workers / JIT / code cache
     run_pipeline(
         spark, synth_docs_df(spark, 2000, n_partitions=parts),
@@ -194,6 +205,7 @@ def scaling_worker() -> None:
         shutil.rmtree(ck, ignore_errors=True)
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
     print("SCALING:" + json.dumps(best))
 
 

@@ -15,9 +15,14 @@ from pyspark.sql import functions as F
 
 
 def passthrough_docs(docs: DataFrame) -> DataFrame:
-    """Explode all spans, then reassemble per doc ordered by offset."""
+    """Explode all spans, then reassemble per doc ordered by offset.
+
+    Repartition the compact doc rows by doc_id BEFORE the explode: the
+    reassembly groupBy then runs shuffle-free on the (larger) span rows —
+    one shuffle of 1 row/doc instead of one shuffle of ~4 rows/doc.
+    """
     s = F.explode_outer("spans").alias("s")
-    exploded = docs.select("doc_id", s)
+    exploded = docs.repartition("doc_id").select("doc_id", s)
     # collect_list skips nulls — wrap the struct in when() so the
     # explode_outer placeholder row of an empty-spans doc doesn't become a
     # struct-of-nulls element.

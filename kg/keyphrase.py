@@ -18,7 +18,12 @@ from kg.mention import explode_text_spans
 
 
 def keyphrases_table(docs: DataFrame, top_k: int = KEYPHRASE_TOP_K) -> DataFrame:
-    sents = explode_text_spans(docs)
+    # ONE shuffle total: repartition the compact doc rows by doc_id BEFORE
+    # exploding — HashPartitioning(doc_id) satisfies both the (doc_id,
+    # phrase) TF aggregation (subset clustering) and the per-doc top-k
+    # window, and explode/filter preserve it, so neither re-shuffles the
+    # ~60x-larger word rows.  (Previously: two word-row shuffles.)
+    sents = explode_text_spans(docs.repartition("doc_id"))
     seg = F.explode(F.split(F.trim("text"), r"\s+")).alias("seg")
     segs = sents.select("doc_id", seg).where(F.col("seg") != "")
     tag = F.substring_index("seg", "/", -1)

@@ -57,3 +57,29 @@ def test_extract_stage_has_no_shuffle(spark, vocab):
     df = extract_sentences(explode_text_spans(docs), vocab)
     plan = _plan(df)
     assert "Exchange" not in plan  # documents -> extract is shuffle-free
+
+
+def test_keyphrases_single_shuffle(spark, tmp_path):
+    """TF aggregation and the per-doc top-k window must both reuse the
+    upfront doc_id repartition: exactly ONE Exchange in the whole plan
+    when reading from a parquet checkpoint (the 100-TB shape — word rows
+    are ~60x the doc rows and must not shuffle)."""
+    from kg.keyphrase import keyphrases_table
+    from kg.synth import docs_to_df, synth_docs
+
+    p = str(tmp_path / "docs.parquet")
+    docs_to_df(spark, synth_docs(30)).write.parquet(p)
+    df = keyphrases_table(spark.read.parquet(p))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_passthrough_single_shuffle(spark, tmp_path):
+    from kg.invariant import passthrough_docs
+    from kg.synth import docs_to_df, synth_docs
+
+    p = str(tmp_path / "docs2.parquet")
+    docs_to_df(spark, synth_docs(30)).write.parquet(p)
+    df = passthrough_docs(spark.read.parquet(p))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
