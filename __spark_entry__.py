@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": R.value_percentiles,
         "distinct_users": R.distinct_users,
         "approx_distinct_users": R.approx_distinct_users,  # HLL: rows-only
+        "masked_loss": R.masked_loss,  # A2: masked-mean BCE-with-logits agg
         # training-data ops (SQL-checked)
         "dedup_exact": lambda s, d: D.exact_duplicates(
             R.load(s, d, "documents").select(
@@ -710,6 +711,15 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "masked_loss": """
+            SELECT round(sum((greatest(x, 0) - x * t + ln(1 + exp(-abs(x)))) * m)
+                         / sum(m), 6) AS masked_bce,
+                   sum(m)::bigint AS n_masked
+            FROM (SELECT (value - 50.0) / 10.0 AS x,
+                         CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS t,
+                         CASE WHEN value > 10.0 THEN 1.0 ELSE 0.0 END AS m
+                  FROM events)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_copies,

@@ -296,3 +296,23 @@ def approx_distinct_users(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
+
+
+# -- A2: masked-mean BCE-with-logits as one distributed aggregation -----------
+def masked_loss(spark, sf_dir):
+    """Masked-mean binary cross-entropy on raw logits (SURVEY §2 A2;
+    reference ner/trainer.py:19-23: (loss * masks).sum() / masks.sum()),
+    expressed as a single whole-stage-codegen aggregation — the shape a
+    training-eval loss takes over a 100-TB logit table.  Logits / targets /
+    masks are derived deterministically from ``events`` (the stable
+    numerically-safe BCE form max(x,0) - x*t + log1p(exp(-|x|)));
+    kg/scoring.py holds the batch/NumPy twin used by tests."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.col("value") - 50.0) / 10.0
+    t = F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)
+    m = F.when(F.col("value") > 10.0, 1.0).otherwise(0.0)
+    bce = F.greatest(x, F.lit(0.0)) - x * t + F.log1p(F.exp(-F.abs(x)))
+    return ev.agg(
+        F.round(F.sum(bce * m) / F.sum(m), 6).alias("masked_bce"),
+        F.sum(m).cast("bigint").alias("n_masked"),
+    )

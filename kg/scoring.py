@@ -163,3 +163,50 @@ class MRCSpanScorer:
                 pos = s > 0
                 spans = list(zip(ii[pos].tolist(), jj[pos].tolist(), s[pos].tolist()))
         return start_logits, end_logits, spans
+
+
+# ---------------------------------------------------------------------------
+# Masked-mean BCE loss (SURVEY §2 A2 — reference ner/trainer.py:18-45)
+# ---------------------------------------------------------------------------
+
+
+def bce_with_logits(logits: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Elementwise binary cross-entropy on raw logits, numerically stable
+    (the max(x,0) - x*t + log1p(exp(-|x|)) form torch uses internally;
+    reference F.binary_cross_entropy_with_logits, ner/trainer.py:21)."""
+    x = np.asarray(logits, dtype=np.float64)
+    t = np.asarray(targets, dtype=np.float64)
+    return np.maximum(x, 0.0) - x * t + np.log1p(np.exp(-np.abs(x)))
+
+
+def masked_mean_loss(logits: np.ndarray, targets: np.ndarray, masks: np.ndarray) -> float:
+    """(loss * masks).sum() / masks.sum() — ner/trainer.py:19-23 verbatim."""
+    m = np.asarray(masks, dtype=np.float64)
+    return float((bce_with_logits(logits, targets) * m).sum() / m.sum())
+
+
+def mrc_total_loss(
+    start_logits: np.ndarray,
+    end_logits: np.ndarray,
+    span_logits: np.ndarray,
+    start_labels: np.ndarray,
+    end_labels: np.ndarray,
+    span_labels: np.ndarray,
+    attention_mask: np.ndarray,
+    token_type_ids: np.ndarray,
+) -> dict:
+    """Batch loss exactly as composed at ner/trainer.py:25-45: positional
+    masks = attention ∧ token_type; span mask = upper triangle of the
+    outer product of the positional mask with itself (triu, diagonal=0);
+    total = start + end + span masked means.  Shapes: [B, L] for the
+    positional tensors, [B, L, L] for span_logits/span_labels."""
+    masks = (np.asarray(attention_mask, dtype=bool) & np.asarray(token_type_ids, dtype=bool)).astype(np.float64)
+    span_masks = masks[:, :, None] * masks[:, None, :]
+    span_masks = np.triu(span_masks, k=0)
+    out = {
+        "start_loss": masked_mean_loss(start_logits, start_labels, masks),
+        "end_loss": masked_mean_loss(end_logits, end_labels, masks),
+        "span_loss": masked_mean_loss(span_logits, span_labels, span_masks),
+    }
+    out["loss"] = out["start_loss"] + out["end_loss"] + out["span_loss"]
+    return out
