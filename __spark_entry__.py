@@ -9,10 +9,10 @@ in ``oracle_sql()`` (the KG ones read driver-side dimension parquets, see
 kg/oracle_tables.py).  The remaining rows-only entries are each justified:
 ``approx_distinct_users`` / ``ann_lsh`` / ``embedding_nn_pairs_lsh`` are
 approximate BY DESIGN (gated by a 5% HLL tolerance test, a recall@10 >= 0.9
-test, and a subset-of-exact test respectively), ``simhash`` depends on
-Spark's xxhash64 which DuckDB cannot reproduce (gated by an equivalence
-test against the bit-exploded twin), and ``media_features`` wraps the
-declared decode stub (gated by a determinism test).
+test, and a subset-of-exact test respectively), and ``media_features``
+wraps the declared decode stub (gated by a determinism test).  Even
+``simhash`` is SQL-checked: a pure-Python XXH64 (kg/xxh64.py, bit-identical
+to Spark's xxhash64) feeds its word-hash dimension table.
 """
 
 from __future__ import annotations
@@ -155,18 +155,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
-        # non-SQL-expressible (rows-only; exact-parity pytest gates instead)
+        # SQL-checked via dimension parquets / generated SQL (module doc)
         "simhash": lambda s, d: D.simhash64(R.load(s, d, "documents")),
         "minhash_clusters": lambda s, d: D.minhash_clusters(
             R.load(s, d, "documents")
         ),
+        # approximate by design: rows-only + recall@10 >= 0.9 pytest gate
         "ann_lsh": lambda s, d: S.lsh_ann(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
         "cosine_topk_np": lambda s, d: S.cosine_topk_np(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
-        # KG pipeline (rows-only; parity vs single-node oracle in tests/)
+        # KG pipeline (all SQL-checked; plus exact-parity pytest gates)
         "kg_mentions": lambda s, d: _kg_tables(s, d)["mentions"],
         "kg_triples": lambda s, d: _kg_tables(s, d)["triples"],
         "kg_linked": lambda s, d: _kg_tables(s, d)["linked"],
@@ -206,8 +207,48 @@ def oracle_sql() -> dict[str, str]:
     # vs JVM higher-order functions): same oracle applies to both.
     o["cosine_topk_np"] = o["cosine_topk"]
     o["minhash_clusters"] = _minhash_clusters_sql()
+    o["simhash"] = _simhash_sql()
     o.update(_kg_oracle_sqls())
     return o
+
+
+def _simhash_sql() -> str:
+    """DuckDB replay of kg/ops/dedup.py simhash64: per-word xxhash64 comes
+    from a driver-side dimension parquet (pure-Python XXH64, kg/xxh64.py —
+    equivalence with Spark pinned in tests); the SQL re-derives the 64
+    term-weighted bit votes and composes the signed signature (bit 63 wraps
+    through hugeint arithmetic)."""
+    from kg.oracle_tables import ensure_simhash_words
+
+    dim = ensure_simhash_words(
+        "/root/testdata/sf0.01/documents.parquet", fingerprint=_code_fingerprint()
+    )
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b}::hugeint ELSE 0::hugeint END"
+        for b in range(64)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS word
+          FROM documents),
+        h AS (SELECT w.doc_id, d.h FROM w
+              JOIN read_parquet('{dim}') d USING (word)),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig}) AS s FROM votes)
+        SELECT doc_id,
+               (CASE WHEN s >= 9223372036854775808::hugeint
+                     THEN s - 18446744073709551616::hugeint
+                     ELSE s END)::bigint AS simhash
+        FROM sig
+    """
 
 
 def _minhash_clusters_sql() -> str:

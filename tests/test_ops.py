@@ -234,3 +234,20 @@ def test_media_features_deterministic(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00" * 16)
+
+
+def test_xxh64_matches_spark(spark, docs):
+    """kg/xxh64.py must reproduce Spark's xxhash64 bit-for-bit on every
+    distinct word of the real testdata corpus (it feeds the simhash
+    oracle's dimension table) plus unicode/length edge cases."""
+    from kg.xxh64 import xxh64_str
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    rows = words.select("w", F.xxhash64("w").alias("h")).collect()
+    assert rows
+    for r in rows:
+        assert xxh64_str(r.w) == r.h, r.w
