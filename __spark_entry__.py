@@ -6,13 +6,13 @@ training-data ops).  Every deterministic query — including the full KG
 pipeline: mention extraction, REL_WINDOW triple pairing, MinHash/LSH/CC
 entity linking, node/edge materialization, keyphrases — has a DuckDB oracle
 in ``oracle_sql()`` (the KG ones read driver-side dimension parquets, see
-kg/oracle_tables.py).  The remaining rows-only entries are each justified:
-``approx_distinct_users`` / ``ann_lsh`` / ``embedding_nn_pairs_lsh`` are
-approximate BY DESIGN (gated by a 5% HLL tolerance test, a recall@10 >= 0.9
-test, and a subset-of-exact test respectively), and ``media_features``
-wraps the declared decode stub (gated by a determinism test).  Even
-``simhash`` is SQL-checked: a pure-Python XXH64 (kg/xxh64.py, bit-identical
-to Spark's xxhash64) feeds its word-hash dimension table.
+kg/oracle_tables.py).  43/45 queries are hash-checked — even ``simhash``
+(pure-Python XXH64 dimension table, kg/xxh64.py) and the two hyperplane-LSH
+paths (plane weights as a dimension parquet; sign margins are ten orders
+above float noise, so the buckets replay engine-independently).  The only
+rows-only entries are ``approx_distinct_users`` (HLL sketch internals are
+engine-specific; gated by a 5% tolerance test) and ``media_features`` (the
+declared decode stub; gated by a determinism test).
 """
 
 from __future__ import annotations
@@ -151,7 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_nn_pairs_lsh": lambda s, d: S.embedding_nn_pairs_lsh(
             R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4
-        ),  # approximate by design: rows-only
+        ),  # bucketed-approximate vs exact pairs, SQL-checked (plane dim table)
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
@@ -160,7 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": lambda s, d: D.minhash_clusters(
             R.load(s, d, "documents")
         ),
-        # approximate by design: rows-only + recall@10 >= 0.9 pytest gate
+        # approximate vs exact NN by design, but deterministic: SQL-checked
+        # via the plane-weight dim table; recall@10 >= 0.9 pytest gate too
         "ann_lsh": lambda s, d: S.lsh_ann(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
@@ -208,8 +209,110 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk_np"] = o["cosine_topk"]
     o["minhash_clusters"] = _minhash_clusters_sql()
     o["simhash"] = _simhash_sql()
+    o["embedding_nn_pairs_lsh"] = _nn_pairs_lsh_sql()
+    o["ann_lsh"] = _ann_lsh_sql()
     o.update(_kg_oracle_sqls())
     return o
+
+
+_EMB_FLAT_CTE = """
+        f AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::double AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, sum(v * v) AS n2 FROM f GROUP BY vec_id)"""
+
+
+def _nn_pairs_lsh_sql() -> str:
+    """DuckDB replay of embedding_nn_pairs_lsh (dim=64, 4 planes, seed 13,
+    threshold 0.4): plane weights come from a driver-side dimension parquet;
+    the sign-pattern bucket, bucket-equal candidate pairs, and the rounded
+    cosine verify are plain SQL.  Sign margins are ~4e-4 on this data —
+    engine-independent (kg/oracle_tables.py ensure_plane_weights)."""
+    from kg.oracle_tables import ensure_plane_weights
+
+    planes = ensure_plane_weights(64, 4, 1, 13, fingerprint=_code_fingerprint())
+    return f"""
+        WITH {_EMB_FLAT_CTE},
+        proj AS (
+          SELECT f.vec_id, pw.p, sum(f.v * pw.w) AS s
+          FROM f JOIN read_parquet('{planes}') pw USING (i)
+          GROUP BY f.vec_id, pw.p),
+        bkt AS (
+          SELECT vec_id,
+                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY p) AS bucket
+          FROM proj GROUP BY vec_id),
+        cand AS (
+          SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          FROM bkt a JOIN bkt b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        d AS (
+          SELECT c.vec_id_a, c.vec_id_b, sum(fa.v * fb.v) AS dot
+          FROM cand c
+          JOIN f fa ON fa.vec_id = c.vec_id_a
+          JOIN f fb ON fb.vec_id = c.vec_id_b AND fb.i = fa.i
+          GROUP BY c.vec_id_a, c.vec_id_b)
+        SELECT vec_id_a, vec_id_b,
+               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+        FROM d
+        JOIN n na ON na.vec_id = vec_id_a
+        JOIN n nb ON nb.vec_id = vec_id_b
+        WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB replay of lsh_ann (8 tables x 8 planes, Hamming-radius-2
+    multi-probe, k=10): per-vector bucket keys are re-derived in SQL from
+    the plane-weight dimension parquet; the query's probe-key set (computed
+    driver-side with the same NumPy planes) is inlined as VALUES; the final
+    top-k matches the cosine_topk oracle's rounded ranking."""
+    import duckdb as _duckdb
+    import numpy as np
+
+    from kg.ops.similarity import _planes, _probe_keys
+    from kg.oracle_tables import ensure_plane_weights
+
+    planes_path = ensure_plane_weights(64, 8, 8, 13, fingerprint=_code_fingerprint())
+    q = (
+        _duckdb.connect()
+        .execute(
+            "SELECT embedding FROM read_parquet("
+            "'/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id = 0"
+        )
+        .fetchone()[0]
+    )
+    qv = np.asarray(q, dtype=np.float64)
+    probe_rows = []
+    for t in range(8):
+        qsigns = (_planes(64, 8, 13 + t) @ qv) >= 0
+        probe_rows += [(t, key) for key in _probe_keys(qsigns, 2)]
+    probes = ", ".join(f"({t}, '{k}')" for t, k in probe_rows)
+    return f"""
+        WITH {_EMB_FLAT_CTE},
+        proj AS (
+          SELECT pw.tbl, f.vec_id, pw.p, sum(f.v * pw.w) AS s
+          FROM f JOIN read_parquet('{planes_path}') pw USING (i)
+          GROUP BY pw.tbl, f.vec_id, pw.p),
+        keys AS (
+          SELECT tbl, vec_id,
+                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY p) AS bucket
+          FROM proj GROUP BY tbl, vec_id),
+        probes(tbl, bucket) AS (VALUES {probes}),
+        cand AS (SELECT DISTINCT vec_id FROM keys JOIN probes USING (tbl, bucket)),
+        qf AS (SELECT i, v FROM f WHERE vec_id = 0),
+        qn AS (SELECT sum(v * v) AS qn2 FROM qf),
+        dots AS (
+          SELECT f.vec_id, sum(f.v * qf.v) AS dot
+          FROM f JOIN cand USING (vec_id) JOIN qf USING (i)
+          GROUP BY f.vec_id)
+        SELECT d.vec_id, round(d.dot / (sqrt(n.n2) * sqrt(qn.qn2)), 4) AS cosine
+        FROM dots d JOIN n ON n.vec_id = d.vec_id, qn
+        ORDER BY round(d.dot / (sqrt(n.n2) * sqrt(qn.qn2)), 4) DESC, d.vec_id ASC
+        LIMIT 10
+    """
 
 
 def _simhash_sql() -> str:
