@@ -52,6 +52,15 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+def _oracle_sf_dir() -> str:
+    """The sf_dir the oracle SQL is generated against (ADVICE r2): the
+    driver compares at sf0.01, but tools/check_oracles.py threads any other
+    sf through this env var so the dimension-table builders, probe keys and
+    corpus sizing stay consistent with the Spark side instead of silently
+    mismatching."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 _CODE_FP = None
 
 
@@ -157,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # SQL-checked via dimension parquets / generated SQL (module doc)
         "simhash": lambda s, d: D.simhash64(R.load(s, d, "documents")),
+        # banded-hamming join has perfect recall at radius 3 (pigeonhole),
+        # so the oracle is the clean brute-force predicate — exact equality
+        "simhash_neardup": lambda s, d: D.simhash_neardup(
+            R.load(s, d, "documents"), max_hamming=3
+        ),
         "minhash_clusters": lambda s, d: D.minhash_clusters(
             R.load(s, d, "documents")
         ),
@@ -209,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk_np"] = o["cosine_topk"]
     o["minhash_clusters"] = _minhash_clusters_sql()
     o["simhash"] = _simhash_sql()
+    o["simhash_neardup"] = _simhash_neardup_sql()
     o["embedding_nn_pairs_lsh"] = _nn_pairs_lsh_sql()
     o["ann_lsh"] = _ann_lsh_sql()
     o.update(_kg_oracle_sqls())
@@ -275,11 +290,11 @@ def _ann_lsh_sql() -> str:
     from kg.oracle_tables import ensure_plane_weights
 
     planes_path = ensure_plane_weights(64, 8, 8, 13, fingerprint=_code_fingerprint())
+    emb_path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
     q = (
         _duckdb.connect()
         .execute(
-            "SELECT embedding FROM read_parquet("
-            "'/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id = 0"
+            f"SELECT embedding FROM read_parquet('{emb_path}') WHERE vec_id = 0"
         )
         .fetchone()[0]
     )
@@ -315,16 +330,17 @@ def _ann_lsh_sql() -> str:
     """
 
 
-def _simhash_sql() -> str:
-    """DuckDB replay of kg/ops/dedup.py simhash64: per-word xxhash64 comes
-    from a driver-side dimension parquet (pure-Python XXH64, kg/xxh64.py —
-    equivalence with Spark pinned in tests); the SQL re-derives the 64
-    term-weighted bit votes and composes the signed signature (bit 63 wraps
-    through hugeint arithmetic)."""
+def _simhash_sig_ctes() -> str:
+    """Shared WITH-body deriving ``sigs(doc_id, simhash)`` in DuckDB:
+    per-word xxhash64 comes from a driver-side dimension parquet
+    (pure-Python XXH64, kg/xxh64.py — equivalence with Spark pinned in
+    tests); the SQL re-derives the 64 term-weighted bit votes and composes
+    the signed signature (bit 63 wraps through hugeint arithmetic)."""
     from kg.oracle_tables import ensure_simhash_words
 
     dim = ensure_simhash_words(
-        "/root/testdata/sf0.01/documents.parquet", fingerprint=_code_fingerprint()
+        os.path.join(_oracle_sf_dir(), "documents.parquet"),
+        fingerprint=_code_fingerprint(),
     )
     votes = ",\n                 ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -334,8 +350,7 @@ def _simhash_sql() -> str:
         f"CASE WHEN v{b} >= 0 THEN {1 << b}::hugeint ELSE 0::hugeint END"
         for b in range(64)
     )
-    return f"""
-        WITH w AS (
+    return f"""w AS (
           SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                             x -> x <> '')) AS word
           FROM documents),
@@ -345,12 +360,29 @@ def _simhash_sql() -> str:
           SELECT doc_id,
                  {votes}
           FROM h GROUP BY doc_id),
-        sig AS (SELECT doc_id, ({sig}) AS s FROM votes)
-        SELECT doc_id,
-               (CASE WHEN s >= 9223372036854775808::hugeint
-                     THEN s - 18446744073709551616::hugeint
-                     ELSE s END)::bigint AS simhash
-        FROM sig
+        sraw AS (SELECT doc_id, ({sig}) AS s FROM votes),
+        sigs AS (
+          SELECT doc_id,
+                 (CASE WHEN s >= 9223372036854775808::hugeint
+                       THEN s - 18446744073709551616::hugeint
+                       ELSE s END)::bigint AS simhash
+          FROM sraw)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_sig_ctes()} SELECT doc_id, simhash FROM sigs"
+
+
+def _simhash_neardup_sql() -> str:
+    """Oracle for simhash_neardup: the banded hamming join has PERFECT
+    recall at radius <= 3 (4 chunks, pigeonhole), so the independent replay
+    is the clean brute-force all-pairs predicate over the signatures."""
+    return f"""
+        WITH {_simhash_sig_ctes()}
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash, b.simhash))::int AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
 
@@ -467,7 +499,7 @@ def _kg_oracle_sqls() -> dict[str, str]:
     from kg.oracle import build_tag2query
     from kg.oracle_tables import ensure_kg_oracle_tables
 
-    n_docs = sf_to_n_docs(0.01)  # the driver's correctness sf
+    n_docs = sf_to_n_docs(_sf_of(_oracle_sf_dir()))  # the correctness sf
     paths = ensure_kg_oracle_tables(
         n_docs, seed=42, fingerprint=_code_fingerprint(), vocab=_vocab()
     )
@@ -876,13 +908,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      unnest(list_distinct(list_filter(string_split(text, ' '),
                                                       x -> x <> ''))) AS word
               FROM documents),
-            sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
-            -- df cap mirrors kg/ops/dedup.py word_jaccard_pairs(max_df=1000)
+            -- DF-prefilter mirrors kg/ops/dedup.py word_jaccard_pairs
+            -- (max_df=1000): capped words leave the join AND the sizes
             rare AS (
               SELECT w.* FROM words w
               JOIN (SELECT blk, word, count(*) AS df FROM words GROUP BY blk, word) d
                 ON w.blk = d.blk AND w.word = d.word
               WHERE d.df <= 1000),
+            sizes AS (SELECT doc_id, count(*) AS n_words FROM rare GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
               FROM rare a JOIN rare b

@@ -71,14 +71,75 @@ def test_simhash_similar_docs_have_close_hashes(spark):
 
 
 def test_simhash_matches_explode_twin(spark, docs):
-    """Fixed-point gate for the shuffle-lean rewrite (VERDICT r1 item 5):
-    the single-groupBy 64-conditional-sum plan must emit bit-identical
-    signatures to the naive bit-exploded formulation on real testdata."""
-    from kg.ops.dedup import simhash64_explode
+    """Fixed-point gate for the shuffle-free Arrow rewrite (VERDICT r2 item
+    3): the kernel must emit bit-identical signatures to BOTH independent
+    formulations — the JVM single-groupBy aggregation and the naive
+    bit-exploded one — on real testdata."""
+    from kg.ops.dedup import simhash64_agg, simhash64_explode
 
     new = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    agg = {r.doc_id: r.simhash for r in simhash64_agg(docs).collect()}
     old = {r.doc_id: r.simhash for r in simhash64_explode(docs).collect()}
-    assert new == old and len(new) == docs.count()
+    assert new == agg == old and len(new) == docs.count()
+
+
+def test_simhash_plan_is_shuffle_free(spark, docs):
+    """The Arrow simhash is a scan -> kernel plan: no Exchange anywhere."""
+    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_simhash_neardup_equals_bruteforce(spark, docs):
+    """The 4x16-bit banded hamming join has PERFECT recall at radius <= 3
+    (pigeonhole), so its output must equal the brute-force all-pairs
+    predicate over the signatures — on real testdata (which contains
+    planted exact duplicates) and with correct hamming values."""
+    from kg.ops.dedup import simhash_neardup
+
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    assert got == expect
+    assert any(h == 0 for h in got.values())  # exact dupes present in testdata
+
+
+def test_simhash_neardup_planted_near_duplicate(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    from kg.ops.dedup import simhash_neardup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id_a, r.doc_id_b): r.hamming for r in simhash_neardup(df).collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_minhash_verify_join_carries_no_text(spark, docs):
+    """VERDICT r2 item 2: no document text crosses the candidate-pair
+    shuffle — the verify runs JVM-side over shingle-hash arrays."""
+    from kg.ops.dedup import doc_shingle_buckets, minhash_edges
+
+    base = doc_shingle_buckets(docs)
+    assert set(base.columns) == {"doc_id", "shingles", "buckets"}
+    # the verified-edges plan must use the JVM array_intersect verify and
+    # reference no text columns anywhere (texts stop at the sig kernel,
+    # which is upstream of the localCheckpoint and thus not in this plan)
+    plan = minhash_edges(docs)._jdf.queryExecution().analyzed().toString()
+    assert "array_intersect" in plan
+    assert "text" not in plan
+    assert "MapInPandas" not in plan  # verify is not a Python kernel anymore
 
 
 def test_word_jaccard_pairs_finds_planted_pair(spark):
@@ -97,10 +158,11 @@ def test_word_jaccard_pairs_finds_planted_pair(spark):
 
 
 def test_word_jaccard_df_cap_bounds_hot_word_fanout(spark):
-    """Planted stopword-grade term (VERDICT r1 item 4): with max_df set, a
-    word present in every doc of a block must not glue pairs by itself, and
-    pairs matched on discriminative words still come out exact (the cap
-    filters the join side only — set sizes keep every word)."""
+    """Planted stopword-grade term (VERDICT r1 item 4 / ADVICE r2): with
+    max_df set, a word present in every doc of a block must not glue pairs
+    by itself, and the DF-prefilter is symmetric — capped words leave BOTH
+    the join and the size counts, so identical docs score a true 1.0 over
+    the filtered vocabulary."""
     hot = "the"
     rows = [(i, f"{hot} u{i} v{i} w{i}", "s1") for i in range(1, 9)]
     rows += [(100, f"{hot} p q r", "s1"), (101, f"{hot} p q r", "s1")]
@@ -111,10 +173,10 @@ def test_word_jaccard_df_cap_bounds_hot_word_fanout(spark):
     # produce zero of their C(8,2)=28 potential pairs
     assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [(100, 101)]
     p = pairs[0]
-    # n_common counts only join-eligible words (p,q,r — 'the' is capped) but
-    # sizes still count all 4 words, so jaccard = 3/(4+4-3)
-    assert p.n_common == 3 and p.n_a == 4 and p.n_b == 4
-    assert abs(p.jaccard - 3 / 5) < 1e-12
+    # 'the' (df=10) is excluded from n_common AND the sizes: filtered sets
+    # are {p,q,r} on both sides -> exact 1.0 for the identical pair
+    assert p.n_common == 3 and p.n_a == 3 and p.n_b == 3
+    assert abs(p.jaccard - 1.0) < 1e-12
 
     # without the cap the hot word glues nothing above min_jaccard here, but
     # the join itself fans out: sanity that capped output == uncapped output

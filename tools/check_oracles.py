@@ -42,6 +42,11 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the generated oracles (dim tables, probe keys, synth corpus size) must
+    # be derived against the SAME sf_dir the Spark side reads (ADVICE r2)
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
