@@ -182,12 +182,34 @@ def _committed_cc_iters(catalog, stage_prefix: str, token: str) -> list[int]:
     return sorted(out)
 
 
+def _union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find with min-label canonicalization — the same
+    fixed point as the distributed propagation (component minimum)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 25,
     catalog=None,
     stage_prefix: str = "cc",
     checkpoint_every: int = 5,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """Min-label propagation with pointer jumping -> (mention, canonical).
 
@@ -197,6 +219,17 @@ def connected_components(
     difference between unusable and fine on adversarial chain graphs at
     scale.  Labels only decrease and stay within the component, so the
     fixed point is the component minimum either way.
+
+    Small-graph fast path: LSH-verified near-dup edge sets are usually
+    orders of magnitude smaller than the corpus, and each distributed
+    round costs several shuffle stages — pure scheduler overhead when the
+    whole graph fits on the driver.  When the (already-computed) edge
+    count is <= ``small_graph_threshold`` the labels come from one
+    driver-side union-find over the collected pairs (bounded memory:
+    ~100 MB at the default bound) — the classic adaptive CC strategy; the
+    distributed path is unchanged and takes over above the bound.  Both
+    paths produce the identical min-label fixed point
+    (tests/test_linking.py parametrizes the equivalence).
 
     Fault tolerance (VERDICT r1 item 7): ``localCheckpoint`` truncates
     lineage between rounds but is executor-local — an executor loss kills
@@ -212,16 +245,35 @@ def connected_components(
     # without this the upstream lineage (LSH candidate join + Jaccard
     # verify kernel) would re-execute per scan.
     edges = edges.localCheckpoint()
+    spark = edges.sparkSession
 
-    token = None
+    # Order-insensitive content fingerprint: count + bit_xor + exact decimal
+    # sum of the row hashes (ADVICE r2: xor alone cancels duplicate rows
+    # pairwise; the sum distinguishes multiplicity, so equal-size edge sets
+    # no longer collide).  Also yields the count for the fast-path branch.
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("m1", "m2")).alias("hx"),
+        F.sum(F.xxhash64("m1", "m2").cast("decimal(28,0)")).alias("hs"),
+    ).collect()[0]
+    token = f"{row['n']}:{row['hx']}:{row['hs']}"
     final_stage = f"{stage_prefix}_final"
-    if catalog is not None:
-        row = edges.select(
-            F.bit_xor(F.xxhash64("m1", "m2")).alias("h"), F.count("*").alias("n")
-        ).collect()[0]
-        token = f"{row['n']}:{row['h']}"
-        if catalog.is_complete(final_stage, extra_inputs={"edges": token}):
-            return catalog.read(final_stage)
+    if catalog is not None and catalog.is_complete(
+        final_stage, extra_inputs={"edges": token}
+    ):
+        return catalog.read(final_stage)
+
+    if row["n"] <= small_graph_threshold:
+        pairs = [(r["m1"], r["m2"]) for r in edges.select("m1", "m2").collect()]
+        labels_map = _union_find(pairs)
+        frozen = spark.createDataFrame(
+            sorted(labels_map.items()), "mention string, canonical string"
+        )
+        if catalog is not None:
+            return catalog.run(
+                final_stage, lambda: frozen, extra_inputs={"edges": token}
+            )
+        return frozen
 
     sym = edges.select(F.col("m1").alias("src"), F.col("m2").alias("dst")).union(
         edges.select(F.col("m2").alias("src"), F.col("m1").alias("dst"))

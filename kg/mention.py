@@ -145,12 +145,23 @@ def extract_sentences(sentences: DataFrame, vocab: Vocab) -> DataFrame:
         v = vocab_bc.value
         t2q = t2q_bc.value
         tok_cache: dict[str, list[str]] = {}
+        # Sentence-level memo: extraction is a pure function of the text,
+        # and web-scale corpora are duplicate-heavy (boilerplate, templated
+        # sentences — the synthetic corpus is Zipf-skewed the same way), so
+        # repeated sentences cost one dict probe instead of a re-parse.
+        # Bounded per worker; beyond the cap new sentences just compute.
+        sent_cache: dict[str, tuple[list, list]] = {}
+        cap = 65_536
         for pdf in batches:
             out_m, out_t = [], []
             for text in pdf["text"]:
-                m, t = _extract_sentence(text, v, t2q, tok_cache)
-                out_m.append(m)
-                out_t.append(t)
+                hit = sent_cache.get(text)
+                if hit is None:
+                    hit = _extract_sentence(text, v, t2q, tok_cache)
+                    if len(sent_cache) < cap:
+                        sent_cache[text] = hit
+                out_m.append(hit[0])
+                out_t.append(hit[1])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

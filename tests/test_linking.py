@@ -95,13 +95,20 @@ def test_mega_bucket_dropped(spark):
     assert candidate_pairs(buckets, max_bucket=200).count() == 0
 
 
-def test_connected_components_chain(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("sg_threshold", [500_000, 0], ids=["small-path", "distributed"])
+def test_connected_components_chain(spark, sg_threshold):
     # adversarial chain a-b-c-d-e: converges to min label 'a'
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
         "m1 string, m2 string",
     )
-    comp = {r.mention: r.canonical for r in connected_components(edges).collect()}
+    comp = {
+        r.mention: r.canonical
+        for r in connected_components(edges, small_graph_threshold=sg_threshold).collect()
+    }
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
 
 
@@ -113,12 +120,18 @@ def test_connected_components_long_chain_converges_fast(spark):
     edges = spark.createDataFrame(
         [(names[i], names[i + 1]) for i in range(n - 1)], "m1 string, m2 string"
     )
-    comp = {r.mention: r.canonical for r in connected_components(edges, max_iters=10).collect()}
+    comp = {
+        r.mention: r.canonical
+        for r in connected_components(
+            edges, max_iters=10, small_graph_threshold=0
+        ).collect()
+    }
     assert set(comp.values()) == {"n000"}
     assert len(comp) == n
 
 
-def test_connected_components_random_graph_matches_union_find(spark):
+@_pytest.mark.parametrize("sg_threshold", [500_000, 0], ids=["small-path", "distributed"])
+def test_connected_components_random_graph_matches_union_find(spark, sg_threshold):
     import random
 
     rng = random.Random(5)
@@ -140,7 +153,10 @@ def test_connected_components_random_graph_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in nodes if any(x in p for p in pairs)}
 
-    got = {r.mention: r.canonical for r in connected_components(edges).collect()}
+    got = {
+        r.mention: r.canonical
+        for r in connected_components(edges, small_graph_threshold=sg_threshold).collect()
+    }
     # canonical = lexicographic min of component in both
     comp_min = {}
     for x, r in want.items():
@@ -165,7 +181,7 @@ def test_cc_resumes_from_iteration_checkpoint(spark, tmp_path):
     got1 = {
         r.mention: r.canonical
         for r in connected_components(
-            edges, catalog=cat1, checkpoint_every=1
+            edges, catalog=cat1, checkpoint_every=1, small_graph_threshold=0
         ).collect()
     }
     assert set(got1.values()) == {"m000"} and len(got1) == n + 1
@@ -182,7 +198,7 @@ def test_cc_resumes_from_iteration_checkpoint(spark, tmp_path):
     got2 = {
         r.mention: r.canonical
         for r in connected_components(
-            edges, catalog=cat2, checkpoint_every=1
+            edges, catalog=cat2, checkpoint_every=1, small_graph_threshold=0
         ).collect()
     }
     assert got2 == got1
@@ -194,7 +210,7 @@ def test_cc_resumes_from_iteration_checkpoint(spark, tmp_path):
     got3 = {
         r.mention: r.canonical
         for r in connected_components(
-            edges, catalog=cat3, checkpoint_every=1
+            edges, catalog=cat3, checkpoint_every=1, small_graph_threshold=0
         ).collect()
     }
     assert got3 == got1 and cat3.executed == []
@@ -208,8 +224,30 @@ def test_cc_resumes_from_iteration_checkpoint(spark, tmp_path):
     got4 = {
         r.mention: r.canonical
         for r in connected_components(
-            edges2, catalog=cat4, checkpoint_every=1
+            edges2, catalog=cat4, checkpoint_every=1, small_graph_threshold=0
         ).collect()
     }
     assert len(got4) == n + 3 and set(got4.values()) == {"m000"}
     assert any("_iter" in s for s in cat4.executed)
+
+
+def test_cc_fingerprint_distinguishes_duplicate_multisets(spark, tmp_path):
+    """ADVICE r2: xor alone cancels duplicate rows pairwise, so {a-b, c-d,
+    c-d} and {a-b, e-f, e-f} (equal size, xor-colliding duplicates) must
+    NOT reuse each other's committed labels — the sum component of the
+    token distinguishes multiplicity."""
+    from kg.catalog import StageCatalog
+
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("c", "d")], "m1 string, m2 string"
+    )
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("e", "f"), ("e", "f")], "m1 string, m2 string"
+    )
+    cat = StageCatalog(spark, str(tmp_path / "fp"))
+    got1 = {r.mention: r.canonical for r in connected_components(e1, catalog=cat).collect()}
+    assert got1 == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    cat2 = StageCatalog(spark, str(tmp_path / "fp"))
+    got2 = {r.mention: r.canonical for r in connected_components(e2, catalog=cat2).collect()}
+    assert got2 == {"a": "a", "b": "a", "e": "e", "f": "e"}
+    assert "cc_final" in cat2.executed  # token mismatch -> recomputed
