@@ -6,13 +6,22 @@ training-data ops).  Every deterministic query — including the full KG
 pipeline: mention extraction, REL_WINDOW triple pairing, MinHash/LSH/CC
 entity linking, node/edge materialization, keyphrases — has a DuckDB oracle
 in ``oracle_sql()`` (the KG ones read driver-side dimension parquets, see
-kg/oracle_tables.py).  43/45 queries are hash-checked — even ``simhash``
-(pure-Python XXH64 dimension table, kg/xxh64.py) and the two hyperplane-LSH
-paths (plane weights as a dimension parquet; sign margins are ten orders
-above float noise, so the buckets replay engine-independently).  The only
-rows-only entries are ``approx_distinct_users`` (HLL sketch internals are
-engine-specific; gated by a 5% tolerance test) and ``media_features`` (the
-declared decode stub; gated by a determinism test).
+kg/oracle_tables.py).  All queries are hash-checked against an independent
+SQL replay — even ``simhash``/``simhash_neardup`` (pure-Python XXH64
+dimension table, kg/xxh64.py) and the hyperplane-LSH paths (plane weights
+as a dimension parquet; sign margins are ten orders above float noise, so
+the buckets replay engine-independently) — with exactly three exceptions:
+
+- ``approx_distinct_users``: rows-only (HLL sketch internals are
+  engine-specific); gated by a <=5% realized-error test instead.
+- ``media_features``: rows-only (the declared decode stub); gated by a
+  determinism test.
+- ``kg_span_invariant``: the oracle is a constant empty SELECT — a
+  ZERO-EXPECTATION check, not an independent derivation (ADVICE r2).  The
+  violation set compares pipeline input against pipeline OUTPUT, which the
+  SQL oracle cannot see by construction; the non-trivial evidence lives in
+  tests/test_invariant.py (mutation tests prove the check fires on real
+  sequence damage).
 """
 
 from __future__ import annotations
@@ -161,6 +170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn_pairs_lsh": lambda s, d: S.embedding_nn_pairs_lsh(
             R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4
         ),  # bucketed-approximate vs exact pairs, SQL-checked (plane dim table)
+        # OR-construction recall path (8 planes x 8 tables; recall >= 0.9 on
+        # planted near-dups gated in tests/test_ops.py); SQL-checked too
+        "embedding_nn_pairs_lsh_multi": lambda s, d: S.embedding_nn_pairs_lsh(
+            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=8, n_tables=8
+        ),
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
         ),
@@ -225,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_sql()
     o["simhash_neardup"] = _simhash_neardup_sql()
     o["embedding_nn_pairs_lsh"] = _nn_pairs_lsh_sql()
+    o["embedding_nn_pairs_lsh_multi"] = _nn_pairs_lsh_multi_sql()
     o["ann_lsh"] = _ann_lsh_sql()
     o.update(_kg_oracle_sqls())
     return o
@@ -262,6 +277,44 @@ def _nn_pairs_lsh_sql() -> str:
           SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
           FROM bkt a JOIN bkt b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        d AS (
+          SELECT c.vec_id_a, c.vec_id_b, sum(fa.v * fb.v) AS dot
+          FROM cand c
+          JOIN f fa ON fa.vec_id = c.vec_id_a
+          JOIN f fb ON fb.vec_id = c.vec_id_b AND fb.i = fa.i
+          GROUP BY c.vec_id_a, c.vec_id_b)
+        SELECT vec_id_a, vec_id_b,
+               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+        FROM d
+        JOIN n na ON na.vec_id = vec_id_a
+        JOIN n nb ON nb.vec_id = vec_id_b
+        WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4
+    """
+
+
+def _nn_pairs_lsh_multi_sql() -> str:
+    """DuckDB replay of the 8x8 OR-construction pair path: per-table
+    sign-pattern buckets from the multi-table plane-weight dim parquet,
+    DISTINCT candidate pairs colliding in ANY table, rounded cosine verify
+    at 0.4 (same engine-independence argument as _nn_pairs_lsh_sql)."""
+    from kg.oracle_tables import ensure_plane_weights
+
+    planes = ensure_plane_weights(64, 8, 8, 13, fingerprint=_code_fingerprint())
+    return f"""
+        WITH {_EMB_FLAT_CTE},
+        proj AS (
+          SELECT pw.tbl, f.vec_id, pw.p, sum(f.v * pw.w) AS s
+          FROM f JOIN read_parquet('{planes}') pw USING (i)
+          GROUP BY pw.tbl, f.vec_id, pw.p),
+        keys AS (
+          SELECT tbl, vec_id,
+                 string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY p) AS bucket
+          FROM proj GROUP BY tbl, vec_id),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          FROM keys a JOIN keys b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         d AS (
           SELECT c.vec_id_a, c.vec_id_b, sum(fa.v * fb.v) AS dot
           FROM cand c
@@ -710,7 +763,11 @@ def _kg_oracle_sqls() -> dict[str, str]:
               FROM tf)
             WHERE rank <= 5
         """,
-        # the expected value IS the empty set: zero span-sequence violations
+        # ZERO-EXPECTATION check, not an independent replay (module doc):
+        # the violation set diffs pipeline input vs pipeline OUTPUT, which
+        # SQL over the input tables cannot derive; the expected value IS
+        # the empty set, and mutation tests (tests/test_invariant.py) prove
+        # the Spark-side check fires on genuinely damaged sequences.
         "kg_span_invariant": """
             SELECT CAST(NULL AS VARCHAR) AS doc_id WHERE 1 = 0
         """,

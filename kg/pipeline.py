@@ -111,15 +111,25 @@ def run_pipeline(
         ),
         inputs=["mentions"],
     )
+    # Published tables are hive-partitioned on their dominant access key
+    # (VERDICT r2 item 6): nodes by entity kind, edges by predicate —
+    # low-cardinality columns (|TAGS| and |TAGS|^2), so file counts stay
+    # bounded while kind-/pred-selective readers get partition pruning at
+    # the scan (tests/test_plans.py::test_published_tables_prune_partitions).
+    # At the 10^12-doc design point: ~4*10^12 mention rows -> 3 kinds x
+    # O(10k) files per kind for nodes; 9 preds for edges — pruning cuts a
+    # one-pred consumer's scan 9x before a single row is read.
     nodes = timed(
         "nodes",
         lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
         inputs=["mentions", "linked"],
+        partition_by=["kind"],
     )
     edges = timed(
         "edges",
         lambda: build_edges(cat.read("triples"), cat.read("linked")),
         inputs=["triples", "linked"],
+        partition_by=["pred"],
     )
     keyphrases = timed(
         "keyphrases",

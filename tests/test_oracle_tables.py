@@ -49,3 +49,39 @@ def test_idempotent_reuse(vocab):
     # a different fingerprint gets its own directory (stale-code isolation)
     paths3 = ensure_kg_oracle_tables(60, seed=42, fingerprint="t2", vocab=vocab)
     assert paths3["flat"] != paths1["flat"]
+
+
+def test_simhash_dim_table_covers_corpus_and_tracks_content():
+    """ADVICE r2: the simhash oracle inner-joins words against the dim
+    table, silently dropping any missing word — assert full coverage via an
+    anti-join; and the cache key must track file content (size+mtime), so
+    a regenerated file at the same path gets a fresh table."""
+    import duckdb
+
+    from kg.oracle_tables import ensure_simhash_words
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    path = ensure_simhash_words(src)
+    missing = duckdb.sql(
+        f"""
+        SELECT count(*) FROM (
+          SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS word
+          FROM read_parquet('{src}')) w
+        ANTI JOIN read_parquet('{path}') d USING (word)
+        """
+    ).fetchone()[0]
+    assert missing == 0
+
+    # content evidence in the key: same path, different mtime -> new table
+    import os
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cp = os.path.join(td, "documents.parquet")
+        shutil.copy(src, cp)
+        p1 = ensure_simhash_words(cp)
+        os.utime(cp, ns=(os.stat(cp).st_atime_ns, os.stat(cp).st_mtime_ns + 10**9))
+        p2 = ensure_simhash_words(cp)
+        assert p1 != p2
