@@ -82,6 +82,7 @@ RELATIONAL_BENCH = [
     "word_jaccard_pairs",
     "cosine_topk",
     "simhash",
+    "simhash_neardup",
     "minhash_clusters",
 ]
 
@@ -296,10 +297,79 @@ measure above 0.72 on this box.
   scaling gate and our own measured numbers are the binding targets.
 - The pipeline's non-embarrassingly-parallel pieces are the LSH bucket join
   and the CC iterations — both shuffle-bound, AQE-coalesced, and tiny
-  relative to extract at any realistic mention cardinality.
+  relative to extract at any realistic mention cardinality (and below a
+  bounded edge count CC short-circuits to a driver union-find entirely).
 """
+    md += _scale_bench_md()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(md)
+
+
+def _scale_bench_md() -> str:
+    """Fold tools/bench_scale_dedup.py results (bench_scale.json) into
+    BENCH.md when present: bucketed dedup/ANN paths vs exact twins as the
+    input grows (VERDICT r2 item 7)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scale.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        r = json.load(f)
+
+    def docs_row(k):
+        d = r[f"docs_{k}x"]
+        return (
+            f"| {k}x ({d['n_docs']} docs) | {d['minhash_clusters']} "
+            f"| {d['simhash_neardup']} | {d['word_jaccard_pairs']} |"
+        )
+
+    def emb_row(k):
+        e = r[f"emb_{k}x"]
+        exact = e.get(
+            "nn_pairs_exact",
+            "DNR (quadratic; ~"
+            + str(round(r["emb_4x"].get("nn_pairs_exact", 0) * 6.25))
+            + " projected)",
+        )
+        lsh12 = e.get("nn_pairs_lsh_multi_12planes", "—")
+        return (
+            f"| {k}x ({e['n_vectors']} vecs) | {exact} | {e['nn_pairs_lsh_multi']} "
+            f"| {lsh12} | {e['cosine_topk_full_scan']} | {e['ann_lsh']} |"
+        )
+
+    return f"""
+## Dedup/ANN family at scale (sec; inputs = sf0.1 replicated Kx with
+deterministic near-dup perturbation — tools/bench_scale_dedup.py)
+
+| scale | minhash_clusters | simhash_neardup | word_jaccard_pairs |
+|---|---|---|---|
+{docs_row(1)}
+{docs_row(4)}
+{docs_row(10)}
+
+| scale | nn_pairs exact (all-pairs) | LSH 8 planes x 8 tables | LSH 12 planes x 8 tables | cosine_topk full scan | ann_lsh |
+|---|---|---|---|---|---|
+{emb_row(1)}
+{emb_row(4)}
+{emb_row(10)}
+
+Observations (the point of this section — measured, not argued):
+
+- The exact all-pairs twin is quadratic: 16x the vectors cost {round(r["emb_4x"]["nn_pairs_exact"] / max(0.01, r["emb_1x"]["nn_pairs_exact"]), 1)}x
+  the time (1x->4x); at 10x it is not run and its projection is stated as
+  a projection.  The bucketed paths stay 1-2 orders of magnitude under it
+  on the same duplicate-heavy input.
+- LSH bucket saturation is real and sized away, not hidden: at a FIXED 8
+  planes the 2^8 buckets saturate as n grows (per-bucket occupancy grows
+  linearly, candidate pairs quadratically scaled by 2^-planes) — the
+  10x/8-plane cell shows it.  Production sizing sets n_planes ~
+  log2(n/target_occupancy); the 12-plane column shows the same input at
+  the same recall regime dropping ~10x in cost.
+- word_jaccard's worst case sits just BELOW the df cap: at 4x every block
+  hits df = 1000 exactly (nothing capped -> full fan-out of the hot
+  words), at 10x the cap engages and the join collapses.  The cap is the
+  load-bearing guard, and max_df must be set below the block's duplicate
+  multiplicity — documented in kg/ops/dedup.py.
+"""
 
 
 if __name__ == "__main__":

@@ -68,6 +68,11 @@ def word_jaccard_pairs(
     capped words disappears (its filtered sets are disjoint or empty).
     The DuckDB oracle mirrors the same prefilter, so correctness stays
     hash-exact at every sf.
+
+    Sizing note (measured in BENCH.md's scale section): the WORST case is a
+    block whose hot words sit just under ``max_df`` — nothing is capped and
+    the join fans out fully.  Set ``max_df`` below the expected duplicate
+    multiplicity of a block, not merely below the block size.
     Output: (doc_id_a, doc_id_b, n_common, n_a, n_b, jaccard).
     """
     words = docs.select(

@@ -43,10 +43,29 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def fake_payload(media_ref: str) -> bytes:
+    """Deterministic 256-byte blob per ref (sha256 stretched) — the
+    stand-in for reading the object store.  Pure scalar function: shared
+    by the distributed kernel AND the driver-side oracle dimension table
+    (kg/oracle_tables.py), like the tokenizer's words table."""
+    seed = hashlib.sha256(media_ref.encode()).digest()
+    return (seed * 8)[:256]
+
+
+def payload_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Byte-hash projection (STUB for decode+CNN): mean of ``dim`` chunks,
+    L2-normalized, float32.  Pure scalar function — see ``fake_payload``."""
+    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    chunks = np.resize(raw, (dim, max(1, raw.size // dim)))
+    v = chunks.mean(axis=1)
+    norm = np.linalg.norm(v)
+    return (v / norm if norm else v).astype(np.float32).tolist()
+
+
 def media_table(docs: DataFrame) -> DataFrame:
     """Media spans -> opaque binary assets with typed metadata.
 
-    Payload is a deterministic function of media_ref (sha256 stretched) —
+    Payload is a deterministic function of media_ref (``fake_payload``) —
     a stand-in for reading the object store; the Spark plumbing (binary
     column, struct metadata, distinct refs) is the real thing.
     """
@@ -63,8 +82,7 @@ def media_table(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads, metas = [], []
             for ref, kind in zip(pdf["media_ref"], pdf["kind"]):
-                seed = hashlib.sha256(ref.encode()).digest()
-                payload = (seed * 8)[:256]  # deterministic 256-byte blob
+                payload = fake_payload(ref)
                 payloads.append(payload)
                 metas.append({"bytes": len(payload), "mime": f"{kind}/x-synthetic"})
             yield pd.DataFrame(
@@ -102,13 +120,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for content in pdf["content"]:
-                raw = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
-                chunks = np.resize(raw, (dim, max(1, raw.size // dim)))
-                v = chunks.mean(axis=1)
-                norm = np.linalg.norm(v)
-                feats.append((v / norm if norm else v).astype(np.float32).tolist())
+            feats = [payload_features(bytes(c), dim) for c in pdf["content"]]
             yield pd.DataFrame(
                 {"media_ref": pdf["media_ref"], "kind": pdf["kind"], "features": feats}
             )
