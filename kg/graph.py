@@ -60,3 +60,85 @@ def build_edges(triples: DataFrame, mention_map: DataFrame) -> DataFrame:
             "weight",
         )
     )
+
+
+def entity_pagerank(
+    edges: DataFrame, damping: float = 0.85, n_iters: int = 3
+) -> DataFrame:
+    """PageRank over the entity graph -> (entity_id, pagerank).
+
+    Pregel-style power iteration expressed as DataFrame joins (the same
+    shape GraphX/GraphFrames compile to): per iteration one shuffle keyed
+    by destination (the contribution groupBy) plus a broadcast of the
+    1-row dangling-mass aggregate — no driver-side collection of the rank
+    vector at any point, so the operator scales with the edge table.
+    Dangling nodes (no out-links) donate their mass uniformly, the
+    standard stochastic-completion fix, so total rank stays 1.0 every
+    iteration (asserted in tests/test_graph.py).
+
+    ``n_iters`` is a FIXED unrolled count (no convergence probe): rank
+    after k iterations is a closed-form function of the graph, which is
+    what makes the operator independently replayable as unrolled SQL by
+    the DuckDB oracle (entity_pagerank in __spark_entry__.py).  Output is
+    rounded to 8 decimals on both sides so the value hash is insensitive
+    to summation order across engines.
+
+    Scale notes (100 TB): ``links``/``outdeg`` are computed once and
+    reused every iteration (localCheckpoint; on a cluster: persist).  Each
+    iteration's lineage is truncated the same way CC's is (kg/linking.py).
+    """
+    links = (
+        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .union(links.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = links.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    n = nodes.select(F.count("*").cast("double").alias("n"))
+
+    # state: (node, deg nullable, pr); deg carried so the dangling aggregate
+    # and the contribution join never re-join outdeg
+    state = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .crossJoin(F.broadcast(n))
+        .select("node", "deg", (F.lit(1.0) / F.col("n")).alias("pr"), "n")
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        dangling = state.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contribs = (
+            links.join(state, links["src"] == state["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        state = (
+            state.select("node", "deg", "n")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("pr"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        F.col("node").alias("entity_id"), F.round("pr", 8).alias("pagerank")
+    )

@@ -12,11 +12,30 @@ Shuffle budget at scale (SURVEY.md §4): documents→extract is shuffle-free
 narrow explodes of the extract checkpoint; the first shuffles appear at
 entity linking (distinct + LSH bucket join) and the grouping aggregations of
 nodes/edges — all keyed, AQE-coalesced, skew-join protected.
+
+Stage scheduling: independent stages of the DAG are submitted CONCURRENTLY
+from driver threads (Spark sessions are thread-safe for job submission and
+the task scheduler interleaves them across the executor pool).  Serial
+execution leaves executors idle during each stage's driver-side tail
+(manifest commit, parquet-footer lineage scan) and never overlaps two small
+stages that each use a fraction of the cluster — on a 1000-executor cluster
+the four post-extract stages and the three post-linking stages are pure
+wins.  Concurrency only pays when the pool is wider than one stage's
+effective parallelism: on a small pool every stage already saturates the
+task slots, and competing jobs only add scheduler contention and
+peak-memory pressure (measured on this box at 4M docs: local[2] 615s
+4-way vs 390s serial; local[8] 162s vs 148s; while at local[32]/100k docs
+4-way wins 21s vs 38s).  The width therefore adapts — serial below 16
+slots, 4-way at 16+ (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
+``PipelineResult.executed`` stays deterministic either way: completion
+order is canonicalized to DAG order.
 """
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +49,39 @@ from kg.linking import link_mentions
 from kg.mention import explode_text_spans, extract_sentences, mentions_table, triples_table
 from kg.synth import corpus_vocab
 from kg.tokenizer import Vocab
+
+
+class _SerialExecutor:
+    """Drop-in ThreadPoolExecutor stand-in that runs submit() inline on the
+    calling thread — the serial scheduling path, same code shape."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def submit(self, fn, *args, **kwargs) -> Future:
+        f: Future = Future()
+        try:
+            f.set_result(fn(*args, **kwargs))
+        except BaseException as e:  # noqa: BLE001 — mirror executor semantics
+            f.set_exception(e)
+        return f
+
+
+def _stage_executor(spark: SparkSession):
+    """Module docstring: 4-way when the task-slot pool can absorb competing
+    jobs, serial on tiny pools where interleaving only contends."""
+    env = os.environ.get("SPARK_KG_STAGE_WORKERS")
+    if env is not None:
+        workers = int(env)
+    else:
+        slots = spark.sparkContext.defaultParallelism
+        workers = 4 if slots >= 16 else 0
+    if workers <= 0:
+        return _SerialExecutor()
+    return ThreadPoolExecutor(max_workers=workers, thread_name_prefix="kg-stage")
 
 
 def input_fingerprint(docs: DataFrame) -> str:
@@ -94,63 +146,80 @@ def run_pipeline(
         lambda: extract_sentences(explode_text_spans(cat.read("documents")), vocab),
         inputs=["documents"],
     )
-    mentions = timed(
-        "mentions", lambda: mentions_table(cat.read("extract")), inputs=["extract"]
-    )
-    triples = timed(
-        "triples", lambda: triples_table(cat.read("extract")), inputs=["extract"]
-    )
-    # CC iterations inside linking checkpoint through the same catalog
-    # (stage names linked_cc_iter*/linked_cc_final): a job killed mid-CC
-    # resumes label propagation from the last durable round when the
-    # "linked" stage itself re-runs.
-    linked = timed(
-        "linked",
-        lambda: link_mentions(
-            cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
-        ),
-        inputs=["mentions"],
-    )
-    # Published tables are hive-partitioned on their dominant access key
-    # (VERDICT r2 item 6): nodes by entity kind, edges by predicate —
-    # low-cardinality columns (|TAGS| and |TAGS|^2), so file counts stay
-    # bounded while kind-/pred-selective readers get partition pruning at
-    # the scan (tests/test_plans.py::test_published_tables_prune_partitions).
-    # At the 10^12-doc design point: ~4*10^12 mention rows -> 3 kinds x
-    # O(10k) files per kind for nodes; 9 preds for edges — pruning cuts a
-    # one-pred consumer's scan 9x before a single row is read.
-    nodes = timed(
-        "nodes",
-        lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
-        inputs=["mentions", "linked"],
-        partition_by=["kind"],
-    )
-    edges = timed(
-        "edges",
-        lambda: build_edges(cat.read("triples"), cat.read("linked")),
-        inputs=["triples", "linked"],
-        partition_by=["pred"],
-    )
-    keyphrases = timed(
-        "keyphrases",
-        lambda: keyphrases_table(cat.read("documents")),
-        inputs=["documents"],
-    )
-    documents_out = timed(
-        "documents_out",
-        lambda: passthrough_docs(cat.read("documents")),
-        inputs=["documents"],
-    )
+    # Concurrent group 1 — four independent children of documents/extract
+    # (module docstring: driver-thread job submission, deterministic ledger).
+    with _stage_executor(spark) as ex:
+        f_mentions = ex.submit(
+            timed, "mentions", lambda: mentions_table(cat.read("extract")),
+            inputs=["extract"],
+        )
+        f_triples = ex.submit(
+            timed, "triples", lambda: triples_table(cat.read("extract")),
+            inputs=["extract"],
+        )
+        f_keyphrases = ex.submit(
+            timed, "keyphrases", lambda: keyphrases_table(cat.read("documents")),
+            inputs=["documents"],
+        )
+        f_documents_out = ex.submit(
+            timed, "documents_out", lambda: passthrough_docs(cat.read("documents")),
+            inputs=["documents"],
+        )
+        mentions = f_mentions.result()
+        # CC iterations inside linking checkpoint through the same catalog
+        # (stage names linked_cc_iter*/linked_cc_final): a job killed mid-CC
+        # resumes label propagation from the last durable round when the
+        # "linked" stage itself re-runs.  Linking starts as soon as mentions
+        # commits — keyphrases/documents_out may still be in flight.
+        linked = timed(
+            "linked",
+            lambda: link_mentions(
+                cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
+            ),
+            inputs=["mentions"],
+        )
+        triples = f_triples.result()
+        # Concurrent group 2 — published tables + the invariant proof.
+        # Published tables are hive-partitioned on their dominant access key
+        # (VERDICT r2 item 6): nodes by entity kind, edges by predicate —
+        # low-cardinality columns (|TAGS| and |TAGS|^2), so file counts stay
+        # bounded while kind-/pred-selective readers get partition pruning at
+        # the scan (tests/test_plans.py::test_published_tables_prune_partitions).
+        # At the 10^12-doc design point: ~4*10^12 mention rows -> 3 kinds x
+        # O(10k) files per kind for nodes; 9 preds for edges — pruning cuts a
+        # one-pred consumer's scan 9x before a single row is read.
+        f_nodes = ex.submit(
+            timed, "nodes",
+            lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
+            inputs=["mentions", "linked"],
+            partition_by=["kind"],
+        )
+        f_edges = ex.submit(
+            timed, "edges",
+            lambda: build_edges(cat.read("triples"), cat.read("linked")),
+            inputs=["triples", "linked"],
+            partition_by=["pred"],
+        )
+        keyphrases = f_keyphrases.result()
+        documents_out = f_documents_out.result()
 
-    violations = 0
-    if check_invariant:
-        t0 = time.perf_counter()
-        violations = span_violations(documents, documents_out).count()
-        timings["invariant_check"] = round(time.perf_counter() - t0, 3)
-        if violations:
-            raise AssertionError(
-                f"span-sequence invariant violated for {violations} docs"
-            )
+        f_violations = None
+        if check_invariant:
+            def _check() -> int:
+                t0 = time.perf_counter()
+                n = span_violations(documents, documents_out).count()
+                timings["invariant_check"] = round(time.perf_counter() - t0, 3)
+                return n
+            f_violations = ex.submit(_check)
+
+        nodes = f_nodes.result()
+        edges = f_edges.result()
+        violations = f_violations.result() if f_violations is not None else 0
+
+    if violations:
+        raise AssertionError(
+            f"span-sequence invariant violated for {violations} docs"
+        )
 
     tables = {
         "documents": documents,
@@ -163,10 +232,21 @@ def run_pipeline(
         "keyphrases": keyphrases,
         "documents_out": documents_out,
     }
+    # Completion order is nondeterministic under concurrent stage groups;
+    # the reported ledger is canonical DAG order (CC-internal rounds, which
+    # commit serially inside 'linked', keep their own order, placed before it).
+    done = set(cat.executed)
+    aux = [s for s in cat.executed if s not in tables]
+    executed: list[str] = []
+    for s in tables:
+        if s == "linked":
+            executed.extend(aux)
+        if s in done:
+            executed.append(s)
     return PipelineResult(
         tables=tables,
         catalog=cat,
-        executed=list(cat.executed),
+        executed=executed,
         invariant_violations=violations,
         timings=timings,
     )
