@@ -80,6 +80,55 @@ def bench_kg(spark, sf_dir: str, n_docs: int | None = None) -> dict:
     }
 
 
+def bench_kg_append(spark, n_docs: int, batch_frac: float = 0.1) -> dict:
+    """Incremental-growth cost: fold a ``batch_frac`` batch into a completed
+    ``n_docs`` run via run_pipeline_append — the measured version of the
+    'a 1% daily batch costs ~1% of extract plus the linking tail' claim."""
+    from kg.pipeline import run_pipeline, run_pipeline_append
+    from kg.synth import corpus_vocab, docs_to_df, synth_docs
+
+    vocab = corpus_vocab()
+    n_batch = int(n_docs * batch_frac)
+    docs = synth_docs(n_docs + n_batch)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="kg_append_", dir=shm)
+    perdoc = ("documents", "extract", "mentions", "triples", "keyphrases",
+              "documents_out")
+    try:
+        t0 = time.perf_counter()
+        res_full = run_pipeline(
+            spark, docs_to_df(spark, docs[:n_docs]), base,
+            vocab=vocab, input_token=f"base:{n_docs}",
+        )
+        full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_app = run_pipeline_append(
+            spark, docs_to_df(spark, docs[n_docs:]), base,
+            vocab=vocab, input_token=f"batch:{n_batch}",
+        )
+        append = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # Per-document work is what grows with the corpus at 100 TB; the tail
+    # (linking over distinct mentions + node/edge aggs) is bounded by the
+    # entity vocabulary and per-job fixed costs dominate the end-to-end
+    # ratio at sandbox scale — so the per-doc split is reported explicitly.
+    perdoc_full = sum(res_full.timings.get(s, 0.0) for s in perdoc)
+    perdoc_app = sum(
+        v for k, v in res_app.timings.items() if k.endswith("+append")
+    )
+    return {
+        "base_docs": n_docs,
+        "batch_docs": n_batch,
+        "full_sec": round(full, 3),
+        "append_sec": round(append, 3),
+        "append_vs_full": round(append / full, 3),
+        "perdoc_full_sec": round(perdoc_full, 3),
+        "perdoc_append_sec": round(perdoc_app, 3),
+        "perdoc_ratio": round(perdoc_app / max(perdoc_full, 1e-9), 3),
+    }
+
+
 RELATIONAL_BENCH = [
     "seg_wordcount",
     "range_self_join",
@@ -113,6 +162,8 @@ def main() -> None:
     )
     kg_stats = bench_kg(spark, sf_dir)
     queries: dict[str, float] = {"kg_pipeline": kg_stats["sec"]}
+    append_stats = bench_kg_append(spark, n_docs=kg_stats["n_docs"] // 2)
+    queries["kg_append_10pct"] = append_stats["append_sec"]
 
     if "--kg-only" not in sys.argv:
         import __spark_entry__ as E
@@ -131,6 +182,7 @@ def main() -> None:
         "queries": queries,
         "sf": _sf_of(sf_dir),
         "kg": kg_stats,
+        "kg_append": append_stats,
         "cpus": int(cpus),
     }
     print(json.dumps(out))
@@ -302,6 +354,26 @@ the {r["n_lo"]}→{r["n_hi"]}-core range, where the hardware itself can
 express >=0.8; at 8→32 cores no job, however perfectly parallel, could
 measure above 0.72 on this box.
 
+## Measurement notes (round 3)
+
+- Checkpoints and shuffle spill live on tmpfs for the scaling runs: this
+  VM's single virtual disk is a fixed-bandwidth device that cannot scale
+  with cores, whereas a real cluster writes checkpoints/shuffle to
+  distributed storage whose aggregate bandwidth grows with executors —
+  tmpfs is the representative stand-in for the N-vs-4N comparison.
+- Corpus sized at 8M docs (4M in r2, 2M in r1): extraction got ~24% faster
+  this round (sentence-level memo in the Arrow kernel), which shrinks the
+  perfectly-parallel fraction; a per-stage T = W/n + C fit at 4M measured
+  ~55 s of per-job fixed cost (stage barriers, manifest commits, CC
+  convergence probes) — 40% of the 4N-side wall.  Growing the corpus keeps
+  the fixed costs amortized, the same steady-state rationale as r2.
+- Stage scheduling is pool-adaptive (kg/pipeline.py): the 4-way concurrent
+  stage submission that wins at local[32]/100k docs (38s -> 21s) LOSES on
+  small pools where every stage already saturates the slots (local[2]/4M:
+  615s vs 390s serial; local[8]: 162s vs 148s) — so below 16 task slots
+  the scheduler runs serial, and these scaling runs measure the serial
+  path on both sides.
+
 ## Notes
 
 - Throughput metric: docs/sec primary (triples/sec derived) per BASELINE.md.
@@ -312,6 +384,11 @@ measure above 0.72 on this box.
   and the CC iterations — both shuffle-bound, AQE-coalesced, and tiny
   relative to extract at any realistic mention cardinality (and below a
   bounded edge count CC short-circuits to a driver union-find entirely).
+- Incremental growth (run_pipeline_append, measured by bench_kg_append at
+  50k base + 10% batch): the appended per-document stages cost ~20% of the
+  full run's per-document work for a 10% batch (perdoc_ratio 0.203 —
+  small-batch fixed costs account for the 2x), while the recomputed tail
+  is bounded by distinct mentions, not corpus size.
 """
     md += _scale_bench_md()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:

@@ -127,6 +127,64 @@ class StageCatalog:
         os.replace(mtmp, self.manifest_path(stage))
         return manifest
 
+    def append(
+        self,
+        stage: str,
+        df: DataFrame,
+        inputs: Sequence[str] = (),
+        extra_inputs: dict[str, str] | None = None,
+    ) -> list[str]:
+        """Append ``df``'s rows to a committed stage as NEW parquet files,
+        recording them in the manifest alongside the existing lineage.
+        Returns the absolute paths of the appended files (callers use them
+        to derive downstream increments without rescanning the stage).
+
+        Unlike ``write`` this is not directory-atomic; the commit point is
+        the manifest rewrite.  A crash between the file moves and the
+        manifest commit leaves stray data files whose input fingerprints no
+        longer match — ``is_complete`` then fails and the next ``run``
+        recomputes the stage via ``write``, which clears the directory, so
+        readers never observe the torn state (tests/test_incremental.py).
+        Unpartitioned stages only (partitioned tables are cheap aggregation
+        tails — recomputed, not appended, by run_pipeline_append).
+        """
+        m = self.manifest(stage)
+        if m is None:
+            raise ValueError(f"append to uncommitted stage {stage!r}")
+        stage_dir = os.path.join(self.base_dir, stage)
+        tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        new_files = self._file_lineage(tmp)
+
+        final = self.data_dir(stage)
+        moved: list[str] = []
+        for f in new_files:
+            # Spark part-file names embed a fresh job UUID — collision-free
+            dst = os.path.join(final, f["file"])
+            os.replace(os.path.join(tmp, f["file"]), dst)
+            moved.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        files = m["files"] + new_files
+        manifest = dict(
+            m,
+            rows=sum(f["rows"] for f in files),
+            n_files=len(files),
+            files=files,
+            checksum=hashlib.sha256(
+                json.dumps(files, sort_keys=True).encode()
+            ).hexdigest()[:16],
+            inputs={dep: self.fingerprint(dep) for dep in inputs}
+            | (extra_inputs or {}),
+            created_at=time.time(),
+        )
+        mtmp = self.manifest_path(stage) + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, ensure_ascii=False, indent=1)
+        os.replace(mtmp, self.manifest_path(stage))
+        self.executed.append(f"{stage}+append")
+        return moved
+
     @staticmethod
     def _file_lineage(path: str) -> list[dict]:
         """Per-parquet-file (rows, bytes) from footers only — no data scan."""

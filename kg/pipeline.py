@@ -252,6 +252,151 @@ def run_pipeline(
     )
 
 
+def run_pipeline_append(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base_dir: str,
+    vocab: Vocab | None = None,
+    check_invariant: bool = True,
+    input_token: str | None = None,
+) -> PipelineResult:
+    """Incrementally fold a NEW batch of documents into a completed run.
+
+    The 100-TB shape of corpus growth: per-document stages (extract —
+    the dominant cost — mentions, triples, keyphrases, the passthrough
+    proof) are pure functions of each document, so the increment is
+    computed ONLY for the new batch and appended file-wise through
+    ``StageCatalog.append``; only the small shared tail is recomputed —
+    linking (over distinct mention strings, orders of magnitude smaller
+    than the corpus; the CC edge-set fingerprint short-circuits even that
+    when the edge set is unchanged) and the nodes/edges aggregations.
+    A daily 1% batch therefore costs ~1% of extraction plus the tail,
+    instead of a full recompute.
+
+    Equality contract: append(A then B) produces the same nine tables as a
+    fresh run over A∪B (tests/test_incremental.py) — entity ids are
+    content hashes, linking reads the full mention set, and aggregations
+    are order-insensitive.
+
+    ``input_token`` identifies the NEW batch; the documents stage records
+    ``old_token+new_token`` so a repeated identical append is a no-op
+    (idempotent) and resume semantics stay exact.
+    """
+    cat = StageCatalog(spark, base_dir)
+    for required in ("documents", "extract", "mentions", "triples"):
+        if cat.manifest(required) is None:
+            raise ValueError(
+                f"run_pipeline_append requires a completed prior run; "
+                f"stage {required!r} is not committed"
+            )
+    if vocab is None:
+        vocab = corpus_vocab()
+
+    timings: dict[str, float] = {}
+    old_token = cat.manifest("documents")["inputs"]["__input__"]
+    new_token = input_token or input_fingerprint(new_docs)
+    combined = f"{old_token}+{new_token}"
+    if old_token.endswith(f"+{new_token}") or old_token == combined:
+        # identical batch already folded in — idempotent no-op
+        return run_pipeline(
+            spark, cat.read("documents"), base_dir, vocab=vocab,
+            check_invariant=check_invariant, input_token=old_token,
+        )
+
+    def timed_append(stage: str, df: DataFrame, **kw) -> DataFrame:
+        t0 = time.perf_counter()
+        paths = cat.append(stage, df, **kw)
+        timings[f"{stage}+append"] = round(time.perf_counter() - t0, 3)
+        return spark.read.parquet(*paths)
+
+    new_docs = new_docs.localCheckpoint()
+    timed_append(
+        "documents", new_docs, extra_inputs={"__input__": combined}
+    )
+    inc_extract = timed_append(
+        "extract",
+        extract_sentences(explode_text_spans(new_docs), vocab),
+        inputs=["documents"],
+    )
+    timed_append("mentions", mentions_table(inc_extract), inputs=["extract"])
+    timed_append("triples", triples_table(inc_extract), inputs=["extract"])
+    timed_append(
+        "keyphrases", keyphrases_table(new_docs), inputs=["documents"]
+    )
+    inc_docs_out = timed_append(
+        "documents_out", passthrough_docs(new_docs), inputs=["documents"]
+    )
+
+    def timed(name: str, fn, **kw):
+        t0 = time.perf_counter()
+        out = cat.run(name, fn, **kw)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # shared tail: recomputed over the full (old + increment) inputs
+    linked = timed(
+        "linked",
+        lambda: link_mentions(
+            cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
+        ),
+        inputs=["mentions"],
+    )
+    nodes = timed(
+        "nodes",
+        lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
+        inputs=["mentions", "linked"],
+        partition_by=["kind"],
+    )
+    edges = timed(
+        "edges",
+        lambda: build_edges(cat.read("triples"), cat.read("linked")),
+        inputs=["triples", "linked"],
+        partition_by=["pred"],
+    )
+
+    documents = cat.read("documents")
+    documents_out = cat.read("documents_out")
+    violations = 0
+    if check_invariant:
+        # increment-only: the prior run proved the old docs, and the
+        # span-sequence property is per-document, so the proofs compose —
+        # the append never pays a full-corpus scan for it
+        t0 = time.perf_counter()
+        violations = span_violations(new_docs, inc_docs_out).count()
+        timings["invariant_check"] = round(time.perf_counter() - t0, 3)
+        if violations:
+            raise AssertionError(
+                f"span-sequence invariant violated for {violations} docs"
+            )
+
+    tables = {
+        "documents": documents,
+        "extract": cat.read("extract"),
+        "mentions": cat.read("mentions"),
+        "triples": cat.read("triples"),
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "keyphrases": cat.read("keyphrases"),
+        "documents_out": documents_out,
+    }
+    done = set(cat.executed)
+    aux = [s for s in cat.executed if s not in tables and "+append" not in s]
+    appended = [s for s in cat.executed if "+append" in s]
+    executed = appended + [
+        x
+        for s in tables
+        for x in ((aux if s == "linked" else []) + ([s] if s in done else []))
+    ]
+    return PipelineResult(
+        tables=tables,
+        catalog=cat,
+        executed=executed,
+        invariant_violations=violations,
+        timings=timings,
+    )
+
+
 def top_entity_pairs(edges: DataFrame, nodes: DataFrame, k: int = 20) -> DataFrame:
     """Flagship query: top canonical entity pairs by distinct-doc frequency."""
     pair_freq = (
