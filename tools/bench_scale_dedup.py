@@ -135,6 +135,15 @@ def main() -> None:
             row["nn_pairs_exact"] = timed(
                 lambda: S.embedding_nn_pairs(emb, threshold=0.9)
             )
+        else:
+            # production plane sizing at the grown n (n_planes ~
+            # log2(n/occupancy)): the 8-plane cell above shows bucket
+            # saturation, this one shows sizing it away
+            row["nn_pairs_lsh_multi_12planes"] = timed(
+                lambda: S.embedding_nn_pairs_lsh(
+                    emb, dim=64, threshold=0.9, n_planes=12, n_tables=8
+                )
+            )
         out[f"emb_{k}x"] = row
         print("emb", k, row, flush=True)
 
