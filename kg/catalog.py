@@ -81,7 +81,47 @@ class StageCatalog:
 
     # -- io ---------------------------------------------------------------
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir(stage))
+        """Read ONLY the files listed in the committed manifest.
+
+        A directory scan would also return stray part-files left by a crash
+        between ``append``'s file moves and its manifest commit (ADVICE r3):
+        the manifest is the commit point, so readers must not trust the
+        directory listing.  Explicit paths + ``basePath`` keep hive-partition
+        column recovery for partitioned stages.
+        """
+        m = self.manifest(stage)
+        data = self.data_dir(stage)
+        if m is None:
+            # uncommitted stage: no committed files to trust
+            raise ValueError(f"read of uncommitted stage {stage!r}")
+        paths = [os.path.join(data, f["file"]) for f in m["files"]]
+        if not paths:
+            import pyspark.sql.types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(m["schema"]))
+            )
+        return self.spark.read.option("basePath", data).parquet(*paths)
+
+    def reconcile(self, stage: str) -> list[str]:
+        """Delete data files not listed in the committed manifest (strays
+        from a torn append) so retries never accumulate garbage.  Returns
+        the deleted paths.  Readers are already immune (``read`` is
+        manifest-driven); this bounds disk growth under crash/retry loops."""
+        m = self.manifest(stage)
+        if m is None:
+            return []
+        data = self.data_dir(stage)
+        listed = {f["file"] for f in m["files"]}
+        removed = []
+        for root, _dirs, names in os.walk(data):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, data)
+                if name.endswith(".parquet") and rel not in listed:
+                    os.remove(full)
+                    removed.append(full)
+        return removed
 
     def write(
         self,
@@ -90,6 +130,7 @@ class StageCatalog:
         inputs: Sequence[str] = (),
         partition_by: Sequence[str] | None = None,
         extra_inputs: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> dict:
         stage_dir = os.path.join(self.base_dir, stage)
         os.makedirs(stage_dir, exist_ok=True)
@@ -120,6 +161,7 @@ class StageCatalog:
             "inputs": {dep: self.fingerprint(dep) for dep in inputs}
             | (extra_inputs or {}),
             "created_at": time.time(),
+            **(meta or {}),
         }
         mtmp = self.manifest_path(stage) + f".tmp-{uuid.uuid4().hex}"
         with open(mtmp, "w", encoding="utf-8") as f:
@@ -133,24 +175,28 @@ class StageCatalog:
         df: DataFrame,
         inputs: Sequence[str] = (),
         extra_inputs: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> list[str]:
         """Append ``df``'s rows to a committed stage as NEW parquet files,
         recording them in the manifest alongside the existing lineage.
         Returns the absolute paths of the appended files (callers use them
         to derive downstream increments without rescanning the stage).
 
-        Unlike ``write`` this is not directory-atomic; the commit point is
-        the manifest rewrite.  A crash between the file moves and the
-        manifest commit leaves stray data files whose input fingerprints no
-        longer match — ``is_complete`` then fails and the next ``run``
-        recomputes the stage via ``write``, which clears the directory, so
-        readers never observe the torn state (tests/test_incremental.py).
+        Commit point is the manifest rewrite, and it is reader-atomic
+        (ADVICE r3): ``read`` only returns manifest-listed files, so a crash
+        between the file moves and the manifest commit is invisible to
+        readers — the old manifest still describes exactly the old data.
+        The stray part-files such a crash leaves behind are deleted by the
+        ``reconcile`` pass at the start of the next append (and never read
+        meanwhile); a retry then re-appends the batch cleanly
+        (tests/test_incremental.py::test_torn_append_*).
         Unpartitioned stages only (partitioned tables are cheap aggregation
         tails — recomputed, not appended, by run_pipeline_append).
         """
         m = self.manifest(stage)
         if m is None:
             raise ValueError(f"append to uncommitted stage {stage!r}")
+        self.reconcile(stage)
         stage_dir = os.path.join(self.base_dir, stage)
         tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
@@ -177,6 +223,7 @@ class StageCatalog:
             inputs={dep: self.fingerprint(dep) for dep in inputs}
             | (extra_inputs or {}),
             created_at=time.time(),
+            **(meta or {}),
         )
         mtmp = self.manifest_path(stage) + f".tmp-{uuid.uuid4().hex}"
         with open(mtmp, "w", encoding="utf-8") as f:
@@ -209,12 +256,14 @@ class StageCatalog:
         inputs: Sequence[str] = (),
         partition_by: Sequence[str] | None = None,
         extra_inputs: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> DataFrame:
         """Compute-or-skip; always returns the committed checkpoint reader."""
         if self.is_complete(stage, inputs, extra_inputs):
             return self.read(stage)
         self.write(
-            stage, fn(), inputs=inputs, partition_by=partition_by, extra_inputs=extra_inputs
+            stage, fn(), inputs=inputs, partition_by=partition_by,
+            extra_inputs=extra_inputs, meta=meta,
         )
         self.executed.append(stage)
         return self.read(stage)

@@ -135,10 +135,15 @@ def run_pipeline(
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    token = input_token or input_fingerprint(docs)
     documents = timed(
         "documents",
         lambda: docs,
-        extra_inputs={"__input__": input_token or input_fingerprint(docs)},
+        extra_inputs={"__input__": token},
+        # explicit folded-batch ledger (ADVICE r3): appended batch identity
+        # is tested by list membership, never by substring games on tokens
+        # that may themselves contain '+'
+        meta={"batch_tokens": [token]},
     )
 
     extract = timed(
@@ -293,10 +298,15 @@ def run_pipeline_append(
         vocab = corpus_vocab()
 
     timings: dict[str, float] = {}
-    old_token = cat.manifest("documents")["inputs"]["__input__"]
+    docs_manifest = cat.manifest("documents")
+    old_token = docs_manifest["inputs"]["__input__"]
     new_token = input_token or input_fingerprint(new_docs)
     combined = f"{old_token}+{new_token}"
-    if old_token.endswith(f"+{new_token}") or old_token == combined:
+    # Explicit folded-batch ledger (ADVICE r3): membership in the recorded
+    # token list, so re-submission of ANY prior batch — not just the latest —
+    # is a no-op, and tokens containing '+' can never false-positive.
+    folded = docs_manifest.get("batch_tokens") or [old_token]
+    if new_token in folded:
         # identical batch already folded in — idempotent no-op
         return run_pipeline(
             spark, cat.read("documents"), base_dir, vocab=vocab,
@@ -311,7 +321,9 @@ def run_pipeline_append(
 
     new_docs = new_docs.localCheckpoint()
     timed_append(
-        "documents", new_docs, extra_inputs={"__input__": combined}
+        "documents", new_docs,
+        extra_inputs={"__input__": combined},
+        meta={"batch_tokens": folded + [new_token]},
     )
     inc_extract = timed_append(
         "extract",

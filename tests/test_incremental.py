@@ -77,6 +77,94 @@ def test_plain_rerun_after_append_skips_everything(
     assert res.executed == []
 
 
+def test_torn_append_invisible_to_readers_and_retry_safe(
+    spark, vocab, tmp_path, split_corpus
+):
+    """Crash between append's file moves and its manifest commit (ADVICE r3):
+    readers must still see exactly the pre-append rows (read is
+    manifest-driven, not a directory scan), and a retried append must fold
+    the batch exactly once — the stray files are reconciled away, never
+    double-counted."""
+    from kg.catalog import StageCatalog
+    from kg.pipeline import input_fingerprint
+
+    old, new, full = split_corpus
+    base = str(tmp_path / "torn")
+    run_pipeline(
+        spark, docs_to_df(spark, old), base, vocab=vocab, input_token="t100"
+    )
+    cat = StageCatalog(spark, base)
+    n_before = cat.read("documents").count()
+
+    # simulate the torn append: move the batch's part-files into data/ but
+    # crash before the manifest rewrite (monkeypatch-free: do the moves the
+    # same way append does, then stop)
+    import os
+    import uuid
+
+    new_df = docs_to_df(spark, new)
+    stage_dir = os.path.join(base, "documents")
+    tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}")
+    new_df.write.mode("overwrite").parquet(tmp)
+    strays = []
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            dst = os.path.join(cat.data_dir("documents"), name)
+            os.replace(os.path.join(tmp, name), dst)
+            strays.append(dst)
+    assert strays, "torn-append simulation moved no files"
+
+    # 1. readers see the OLD committed contents only
+    cat2 = StageCatalog(spark, base)
+    assert cat2.read("documents").count() == n_before
+    assert cat2.is_complete("documents")
+
+    # 2. a retried append folds the batch exactly once and equals fresh
+    res = run_pipeline_append(
+        spark, new_df, base, vocab=vocab, input_token="b2"
+    )
+    fresh = run_pipeline(
+        spark, docs_to_df(spark, full), str(tmp_path / "torn_fresh"),
+        vocab=vocab, input_token="t150",
+    )
+    assert _rows(res.tables["documents"]) == _rows(fresh.tables["documents"])
+    assert _rows(res.tables["edges"]) == _rows(fresh.tables["edges"])
+    # 3. the stray files were reconciled off disk
+    assert not [p for p in strays if os.path.exists(p)]
+
+
+def test_reappending_an_older_batch_is_noop(spark, vocab, tmp_path):
+    """Membership in the explicit batch_tokens ledger (ADVICE r3): ANY
+    previously folded batch — not just the most recent — is a no-op, and a
+    token containing '+' does not false-positive the suffix of another."""
+    docs = synth_docs(100)
+    b0, b1, b2 = docs[:50], docs[50:70], docs[70:90]
+    base = str(tmp_path / "ledger")
+    run_pipeline(
+        spark, docs_to_df(spark, b0), base, vocab=vocab, input_token="base"
+    )
+    run_pipeline_append(
+        spark, docs_to_df(spark, b1), base, vocab=vocab, input_token="x+y"
+    )
+    res2 = run_pipeline_append(
+        spark, docs_to_df(spark, b2), base, vocab=vocab, input_token="z"
+    )
+    golden = _rows(res2.tables["documents"])
+    # re-submission of the OLDER batch b1 (not the latest): must be a no-op
+    res3 = run_pipeline_append(
+        spark, docs_to_df(spark, b1), base, vocab=vocab, input_token="x+y"
+    )
+    assert res3.executed == []
+    assert _rows(res3.tables["documents"]) == golden
+    # a fresh batch whose token is a suffix-with-'+' trap must STILL append:
+    # old combined token is "base+x+y+z"; token "y+z" is not folded
+    res4 = run_pipeline_append(
+        spark, docs_to_df(spark, docs[90:]), base, vocab=vocab,
+        input_token="y+z",
+    )
+    assert "documents+append" in res4.executed
+
+
 def test_append_requires_completed_run(spark, vocab, tmp_path, split_corpus):
     _, new, _ = split_corpus
     with pytest.raises(ValueError, match="completed prior run"):
