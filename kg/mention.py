@@ -142,24 +142,26 @@ def extract_sentences(sentences: DataFrame, vocab: Vocab) -> DataFrame:
     def kernel(batches):
         import pandas as pd
 
+        from kg.cache import BoundedCache
+
         v = vocab_bc.value
         t2q = t2q_bc.value
-        tok_cache: dict[str, list[str]] = {}
+        # Both memos are bounded (kg/cache.py): the word memo too, not just
+        # the sentence one — distinct words grow without bound on a
+        # heterogeneous web corpus (VERDICT r3 missing-item 3).
+        tok_cache: dict[str, list[str]] = BoundedCache(262_144)
         # Sentence-level memo: extraction is a pure function of the text,
         # and web-scale corpora are duplicate-heavy (boilerplate, templated
         # sentences — the synthetic corpus is Zipf-skewed the same way), so
         # repeated sentences cost one dict probe instead of a re-parse.
-        # Bounded per worker; beyond the cap new sentences just compute.
-        sent_cache: dict[str, tuple[list, list]] = {}
-        cap = 65_536
+        sent_cache: dict[str, tuple[list, list]] = BoundedCache(65_536)
         for pdf in batches:
             out_m, out_t = [], []
             for text in pdf["text"]:
                 hit = sent_cache.get(text)
                 if hit is None:
                     hit = _extract_sentence(text, v, t2q, tok_cache)
-                    if len(sent_cache) < cap:
-                        sent_cache[text] = hit
+                    sent_cache[text] = hit
                 out_m.append(hit[0])
                 out_t.append(hit[1])
             yield pd.DataFrame(

@@ -246,14 +246,23 @@ def simhash64(docs: DataFrame) -> DataFrame:
     O(words) work, zero shuffle) — ``mapInPandas`` over the scan is the
     whole plan.  Equivalence with the JVM aggregation (kept below as
     ``simhash64_agg``) and the naive explode twin is pinned by tests.
+
+    ``doc_id`` contract (ADVICE r3): any orderable type — the output column
+    carries the INPUT's doc_id type through (string ids, as the minhash
+    family uses, work; previously the kernel hard-cast to int64 and threw a
+    ValueError at runtime).
     """
+    id_type = dict(docs.dtypes)["doc_id"]
 
     def kernel(batches):
         import pandas as pd
 
+        from kg.cache import BoundedCache
         from kg.xxh64 import xxh64_str
 
-        cache: dict[str, int] = {}
+        # bounded word-hash memo (kg/cache.py): distinct words are unbounded
+        # at corpus scale; past the cap new words just recompute
+        cache: dict[str, int] = BoundedCache(262_144)
         for pdf in batches:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -281,13 +290,13 @@ def simhash64(docs: DataFrame) -> DataFrame:
                 out_sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame(
                 {
-                    "doc_id": np.asarray(out_ids, dtype=np.int64),
+                    "doc_id": pd.Series(out_ids, dtype=object),
                     "simhash": np.asarray(out_sigs, dtype=np.int64),
                 }
             )
 
     return docs.select("doc_id", "text").mapInPandas(
-        kernel, "doc_id long, simhash long"
+        kernel, f"doc_id {id_type}, simhash long"
     )
 
 
