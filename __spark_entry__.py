@@ -166,8 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn_pairs": lambda s, d: S.embedding_nn_pairs(
             R.load(s, d, "embeddings"), threshold=0.4
         ),
+        # geometry pinned (not auto) so the SQL replay's plane dim table
+        # matches exactly; library defaults auto-size from cardinality
         "embedding_nn_pairs_lsh": lambda s, d: S.embedding_nn_pairs_lsh(
-            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4
+            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4, n_tables=1
         ),  # bucketed-approximate vs exact pairs, SQL-checked (plane dim table)
         # OR-construction recall path (8 planes x 8 tables; recall >= 0.9 on
         # planted near-dups gated in tests/test_ops.py); SQL-checked too
@@ -190,7 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate vs exact NN by design, but deterministic: SQL-checked
         # via the plane-weight dim table; recall@10 >= 0.9 pytest gate too
         "ann_lsh": lambda s, d: S.lsh_ann(
-            R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
+            R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10,
+            n_planes=8, n_tables=8,  # pinned to match the SQL replay's dims
         ),
         "cosine_topk_np": lambda s, d: S.cosine_topk_np(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10

@@ -88,6 +88,68 @@ def _planes(dim: int, n_planes: int = 12, seed: int = 13) -> np.ndarray:
     return rs.standard_normal((n_planes, dim))
 
 
+def auto_lsh_config(
+    n_vectors: int | None = None,
+    n_planes: int | None = None,
+    target_occupancy: int = 8,
+    design_cos: float = 0.95,
+    target_recall: float = 0.9,
+) -> tuple[int, int]:
+    """Size (n_planes, n_tables) from the input cardinality (VERDICT r3
+    item 1 — the measured 10x bucket-saturation cliff, 102s -> 13.5s, must
+    never hit a defaults user).
+
+    Planes from occupancy: with ``b`` hyperplanes a table has 2^b buckets;
+    expected occupancy n/2^b drives the within-bucket self-join
+    quadratically, so hold it at ``target_occupancy``:
+        n_planes = clip(ceil(log2(n / target_occupancy)), 4, 24).
+
+    Tables from recall: a pair at angle θ collides in one table with
+    p = (1 - θ/π)^b, so OR-construction recall is 1 - (1-p)^L.  Holding
+    recall ``target_recall`` at the design similarity ``design_cos`` gives
+        n_tables = clip(ceil(ln(1-recall) / ln(1-p)), 2, 16)
+    — more planes automatically buy more tables, so growing n trades
+    compute for the SAME recall at the design point instead of silently
+    losing it.  At the sf0.1-derived bench inputs this resolves to 8x5 at
+    2k vectors, 10x6 at 8k and 12x8 at 20k — matching the manually-sized
+    12-plane cell that fixed the measured saturation (BENCH.md).
+
+    Callers at known scale pass ``n_vectors`` (or explicit geometry) to
+    skip the count; ``n_planes`` given with ``n_vectors=None`` sizes only
+    the table count.
+    """
+    if n_planes is None:
+        n_planes = int(
+            np.clip(np.ceil(np.log2(max(n_vectors, 2) / target_occupancy)), 4, 24)
+        )
+    p = (1.0 - np.arccos(min(design_cos, 1.0)) / np.pi) ** n_planes
+    n_tables = int(
+        np.clip(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p)), 2, 16)
+    )
+    return n_planes, n_tables
+
+
+def _resolve_lsh_geometry(
+    embeddings: DataFrame,
+    n_planes: int | None,
+    n_tables: int | None,
+    n_vectors: int | None,
+) -> tuple[int, int]:
+    """Fill unspecified LSH geometry from ``auto_lsh_config``; counts the
+    input once only if needed (cheap metadata-ish scan; at 100 TB pass
+    ``n_vectors`` from the table's own statistics)."""
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        auto_p, auto_t = auto_lsh_config(n_vectors)
+        n_planes = auto_p
+        if n_tables is None:
+            n_tables = auto_t
+    elif n_tables is None:
+        _, n_tables = auto_lsh_config(n_planes=n_planes)
+    return n_planes, n_tables
+
+
 def hyperplane_buckets(embeddings: DataFrame, dim: int, n_planes: int = 12, seed: int = 13) -> DataFrame:
     """(vec_id, bucket) — sign pattern of projections onto fixed planes."""
     planes = _planes(dim, n_planes, seed)
@@ -160,21 +222,27 @@ def _probe_keys(qsigns: np.ndarray, probe_bits: int) -> list[str]:
 def lsh_ann_candidates(
     embeddings: DataFrame,
     query_vec: list[float],
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     probe_bits: int = 2,
     seed: int = 13,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Distinct candidate vec_ids across all tables' probed buckets.
 
     The probe set is tiny (n_tables * sum_{r<=probe_bits} C(n_planes, r)
     rows) and broadcast; the bucket table is the only scan-sized side, so
     the candidate selection is a broadcast semi-join — no shuffle of the
-    vectors themselves.  Defaults (8 planes x 8 tables, probe radius 2)
-    hold recall@10 >= 0.9 on the sf0.01 embeddings (tests/test_ops.py),
-    which are near-random — the hardest case for angle LSH; clustered real
-    embeddings prune far harder at the same setting.
+    vectors themselves.  Geometry defaults to ``auto_lsh_config`` sized
+    from the input cardinality (VERDICT r3 item 1): explicit
+    8 planes x 8 tables at probe radius 2 holds recall@10 >= 0.9 on the
+    sf0.01 embeddings (tests/test_ops.py), which are near-random — the
+    hardest case for angle LSH; clustered real embeddings prune far harder
+    at the same setting.
     """
+    n_planes, n_tables = _resolve_lsh_geometry(
+        embeddings, n_planes, n_tables, n_vectors
+    )
     dim = len(query_vec)
     q = np.asarray(query_vec, dtype=np.float64)
     spark = embeddings.sparkSession
@@ -195,15 +263,17 @@ def lsh_ann(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     probe_bits: int = 2,
     seed: int = 13,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """ANN top-k: brute-force cosine over the multi-table multi-probe
-    candidate set only (the 100-TB shape: bucket semi-join, not full scan)."""
+    candidate set only (the 100-TB shape: bucket semi-join, not full scan).
+    Geometry auto-sizes from the input cardinality unless pinned."""
     cand = lsh_ann_candidates(
-        embeddings, query_vec, n_planes, n_tables, probe_bits, seed
+        embeddings, query_vec, n_planes, n_tables, probe_bits, seed, n_vectors
     )
     return cosine_topk(embeddings.join(cand, "vec_id"), query_vec, k)
 
@@ -246,38 +316,65 @@ def embedding_nn_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.8,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 13,
     round_to: int = 4,
-    n_tables: int = 1,
+    n_tables: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Scale path: candidate pairs only within hyperplane-LSH buckets, then
     exact cosine verify (NumPy kernel).  Approximate: pairs whose sign
     patterns differ in EVERY table are never compared.
 
+    Geometry defaults to ``auto_lsh_config`` sized from the input
+    cardinality (VERDICT r3 item 1): planes hold per-bucket occupancy, and
+    the table count then holds the design-point recall at the grown plane
+    count — so the measured fixed-8-plane saturation cliff (BENCH.md scale
+    table) cannot hit a defaults user.
+
     Recall regime (VERDICT r2 item 4): for a pair at angle θ the per-table
     collision probability is (1 - θ/π)^n_planes, so the OR-construction
     recall is 1 - (1 - p)^n_tables.  At near-dup-grade similarity
-    (cosine >= 0.9, θ <= 0.15π) the defaults below give >= 0.95 recall —
-    the planted-near-dup gate in tests/test_ops.py pins >= 0.9.  At
+    (cosine >= 0.9, θ <= 0.15π) the sizing targets >= 0.9 recall — the
+    planted-near-dup gate in tests/test_ops.py pins >= 0.9.  At
     *borderline* similarity on random vectors (cosine ~0.4, θ ~0.37π) NO
     hyperplane-LSH configuration can prune and recall is low by
     information-theoretic necessity — that regime belongs to the exact
     ``embedding_nn_pairs`` twin, not this operator.
+
+    Shuffle payload (VERDICT r3 item 2): candidate generation and the
+    cross-table pair dedup run over BARE (bucket, vec_id) rows — the
+    embedding arrays are attached by a single join per side only after the
+    pair set is distinct, so no 2x-dim float payload is replicated through
+    the bucket join or the dedup exchange (the minhash verify join uses
+    the same discipline — kg/ops/dedup.py).
     """
+    n_planes, n_tables = _resolve_lsh_geometry(
+        embeddings, n_planes, n_tables, n_vectors
+    )
     if n_tables > 1:
         buckets = hyperplane_buckets_multi(
             embeddings, dim, n_planes, n_tables, seed
         ).select(F.concat_ws("|", F.col("table"), F.col("bucket")).alias("bucket"), "vec_id")
     else:
         buckets = hyperplane_buckets(embeddings, dim, n_planes, seed)
-    withb = embeddings.join(buckets, "vec_id")
-    a = withb.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
-    b = withb.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
-    cand = a.join(b, "bucket").where(F.col("vec_id_a") < F.col("vec_id_b"))
+    a = buckets.select("bucket", F.col("vec_id").alias("vec_id_a"))
+    b = buckets.select("bucket", F.col("vec_id").alias("vec_id_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+    )
     if n_tables > 1:
         # a pair colliding in several tables must verify (and emit) once
-        cand = cand.drop("bucket").dropDuplicates(["vec_id_a", "vec_id_b"])
+        pairs = pairs.distinct()
+    emb_a = embeddings.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+    )
+    emb_b = embeddings.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+    )
+    cand = pairs.join(emb_a, "vec_id_a").join(emb_b, "vec_id_b")
 
     def verify(batches):
         import pandas as pd

@@ -390,3 +390,63 @@ def test_bounded_cache_freezes_admission_at_cap():
     c[1] = 99  # existing key updates even at cap
     assert c[1] == 99 and len(c) == 3
     assert c.get(7) is None  # past-cap keys were never admitted
+
+
+def test_auto_lsh_config_tracks_cardinality():
+    """VERDICT r3 item 1: defaults must size planes from occupancy and
+    tables from the design-point recall, matching the manually-derived
+    fix for the measured 10x saturation (12 planes at 20k vectors)."""
+    from kg.ops.similarity import auto_lsh_config
+
+    p2k, t2k = auto_lsh_config(2_000)
+    p8k, t8k = auto_lsh_config(8_000)
+    p20k, t20k = auto_lsh_config(20_000)
+    assert p2k == 8 and p8k == 10 and p20k == 12
+    # more planes buy more tables so design-point recall holds
+    assert t2k <= t8k <= t20k and t20k == 8
+    # recall identity at the design point: 1-(1-p^b)^L >= 0.9
+    import numpy as np
+
+    for b, L in ((p2k, t2k), (p8k, t8k), (p20k, t20k)):
+        p = (1 - np.arccos(0.95) / np.pi) ** b
+        assert 1 - (1 - p) ** L >= 0.9
+    # explicit planes with unknown n: only the table count is derived
+    assert auto_lsh_config(n_planes=8)[0] == 8
+
+
+def test_nn_pairs_lsh_dedup_exchange_carries_no_embeddings(spark, embeddings):
+    """VERDICT r3 item 2: the cross-table pair dedup must shuffle bare
+    (vec_id_a, vec_id_b) rows only — embedding arrays attach AFTER the
+    distinct, once per side, never replicated per colliding table."""
+    from kg.ops.similarity import embedding_nn_pairs_lsh
+
+    df = embedding_nn_pairs_lsh(
+        embeddings, dim=64, threshold=0.9, n_planes=8, n_tables=8
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    # every Exchange partitioned on the PAIR key (the dedup + its retry
+    # exchanges) must not carry any embedding payload column
+    import re
+
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    def args_line(b):
+        return next(
+            (ln for ln in b.split("\n") if ln.strip().startswith("Arguments")), ""
+        )
+
+    pair_exchanges = [
+        b
+        for b in blocks
+        if b.startswith("Exchange")
+        and "vec_id_a" in args_line(b)
+        and "vec_id_b" in args_line(b)
+    ]
+    assert pair_exchanges, "expected a pair-keyed dedup exchange in the plan"
+    for b in pair_exchanges:
+        inp = next(
+            (ln for ln in b.split("\n") if ln.strip().startswith("Input")), ""
+        )
+        assert "ea#" not in inp and "eb#" not in inp and "embedding" not in inp, inp

@@ -123,10 +123,17 @@ def main() -> None:
         n = emb.count()
         row = {
             "n_vectors": n,
-            "nn_pairs_lsh_multi": timed(
+            "auto_geometry": list(S.auto_lsh_config(n)),
+            # fixed 8x8 cell: kept to SHOW the saturation cliff the auto
+            # sizing exists to avoid (BENCH.md observations)
+            "nn_pairs_lsh_8x8_fixed": timed(
                 lambda: S.embedding_nn_pairs_lsh(
                     emb, dim=64, threshold=0.9, n_planes=8, n_tables=8
                 )
+            ),
+            # the DEFAULT path: geometry auto-sized from cardinality
+            "nn_pairs_lsh_auto": timed(
+                lambda: S.embedding_nn_pairs_lsh(emb, dim=64, threshold=0.9)
             ),
             "ann_lsh": timed(lambda: S.lsh_ann(emb, qvec, k=10)),
             "cosine_topk_full_scan": timed(lambda: S.cosine_topk(emb, qvec, k=10)),
