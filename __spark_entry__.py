@@ -556,7 +556,9 @@ def _minhash_clusters_sql() -> str:
 def _pagerank_ctes(damping: float = 0.85, n_iters: int = 3) -> str:
     """Closed-form unrolled PageRank CTE chain over the ``eg`` edge CTE —
     the SQL twin of kg/graph.py entity_pagerank (fixed iteration count,
-    uniform dangling-mass redistribution, 8-decimal rounding)."""
+    uniform dangling-mass redistribution, 6-decimal quantization — coarse
+    enough that cross-engine summation-order noise ~1e-15 cannot straddle
+    a rounding boundary, ADVICE r3)."""
     # AS MATERIALIZED: DuckDB inlines CTEs by default, and each iteration
     # references its predecessor 3x — without materialization the whole
     # upstream pipeline replay expands 3^k times (observed: fd exhaustion).
@@ -832,7 +834,7 @@ def _kg_oracle_sqls() -> dict[str, str]:
         "entity_pagerank": f"""
             WITH RECURSIVE {edges_ctes},
             {_pagerank_ctes()}
-            SELECT node AS entity_id, round(pr, 8) AS pagerank FROM pr3
+            SELECT node AS entity_id, round(pr, 6) AS pagerank FROM pr3
         """,
         # ZERO-EXPECTATION check, not an independent replay (module doc):
         # the violation set diffs pipeline input vs pipeline OUTPUT, which

@@ -63,7 +63,12 @@ def build_edges(triples: DataFrame, mention_map: DataFrame) -> DataFrame:
 
 
 def entity_pagerank(
-    edges: DataFrame, damping: float = 0.85, n_iters: int = 3
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iters: int = 3,
+    catalog=None,
+    stage_prefix: str = "pagerank",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over the entity graph -> (entity_id, pagerank).
 
@@ -80,12 +85,22 @@ def entity_pagerank(
     after k iterations is a closed-form function of the graph, which is
     what makes the operator independently replayable as unrolled SQL by
     the DuckDB oracle (entity_pagerank in __spark_entry__.py).  Output is
-    rounded to 8 decimals on both sides so the value hash is insensitive
-    to summation order across engines.
+    rounded to 6 decimals on both sides: ranks are sums in different
+    orders on different engines, so values land ~1e-15 off — a 1e-6
+    quantum keeps the boundary-straddle probability negligible, where the
+    old 1e-8 quantum made an occasional cross-engine flip plausible
+    (ADVICE r3).
+
+    Fault tolerance (VERDICT r3 item 3, same argument as CC —
+    kg/linking.py): ``localCheckpoint`` truncates lineage but dies with an
+    executor.  With a ``StageCatalog``, every ``checkpoint_every``-th
+    iteration is durably committed keyed by a content fingerprint of the
+    link set (+ damping + n_iters), so a killed job resumes the power
+    iteration from the last committed round; a completed run is returned
+    straight from the final stage (tests/test_graph.py).
 
     Scale notes (100 TB): ``links``/``outdeg`` are computed once and
-    reused every iteration (localCheckpoint; on a cluster: persist).  Each
-    iteration's lineage is truncated the same way CC's is (kg/linking.py).
+    reused every iteration (localCheckpoint; on a cluster: persist).
     """
     links = (
         edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
@@ -93,6 +108,18 @@ def entity_pagerank(
         .distinct()
         .localCheckpoint()
     )
+    token = None
+    final_stage = f"{stage_prefix}_final"
+    if catalog is not None:
+        # order-insensitive link-set fingerprint (same construction as CC's)
+        row = links.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("hx"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(28,0)")).alias("hs"),
+        ).collect()[0]
+        token = f"{row['n']}:{row['hx']}:{row['hs']}:d{damping}:k{n_iters}"
+        if catalog.is_complete(final_stage, extra_inputs={"edges": token}):
+            return catalog.read(final_stage)
     nodes = (
         links.select(F.col("src").alias("node"))
         .union(links.select("dst"))
@@ -110,7 +137,19 @@ def entity_pagerank(
         .select("node", "deg", (F.lit(1.0) / F.col("n")).alias("pr"), "n")
         .localCheckpoint()
     )
-    for _ in range(n_iters):
+    start_iter = 0
+    if catalog is not None:
+        from kg.linking import _committed_cc_iters
+
+        done = [
+            d
+            for d in _committed_cc_iters(catalog, stage_prefix, token)
+            if d <= n_iters
+        ]
+        if done:
+            start_iter = done[-1]
+            state = catalog.read(f"{stage_prefix}_iter{done[-1]:03d}")
+    for it in range(start_iter, n_iters):
         dangling = state.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
@@ -139,6 +178,22 @@ def entity_pagerank(
             )
             .localCheckpoint()
         )
-    return state.select(
-        F.col("node").alias("entity_id"), F.round("pr", 8).alias("pagerank")
+        if (
+            catalog is not None
+            and (it + 1) < n_iters
+            and (it + 1) % checkpoint_every == 0
+        ):
+            frozen = state
+            state = catalog.run(
+                f"{stage_prefix}_iter{it + 1:03d}",
+                lambda: frozen,
+                extra_inputs={"edges": token},
+            )
+    result = state.select(
+        F.col("node").alias("entity_id"), F.round("pr", 6).alias("pagerank")
     )
+    if catalog is not None:
+        return catalog.run(
+            final_stage, lambda: result, extra_inputs={"edges": token}
+        )
+    return result
