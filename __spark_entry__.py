@@ -1038,13 +1038,18 @@ def _oracle_sql_static() -> dict[str, str]:
                      unnest(list_distinct(list_filter(string_split(text, ' '),
                                                       x -> x <> ''))) AS word
               FROM documents),
-            -- DF-prefilter mirrors kg/ops/dedup.py word_jaccard_pairs
-            -- (max_df=1000): capped words leave the join AND the sizes
+            -- adaptive DF-prefilter mirrors kg/ops/dedup.py
+            -- word_jaccard_pairs: cap = min(1000, max(16, floor(|blk|/20)));
+            -- capped words leave the join AND the sizes
+            blks AS (
+              SELECT source AS blk, count(*) AS blk_docs
+              FROM documents GROUP BY source),
             rare AS (
               SELECT w.* FROM words w
               JOIN (SELECT blk, word, count(*) AS df FROM words GROUP BY blk, word) d
                 ON w.blk = d.blk AND w.word = d.word
-              WHERE d.df <= 1000),
+              JOIN blks k ON w.blk = k.blk
+              WHERE d.df <= least(1000, greatest(16, floor(k.blk_docs / 20)))),
             sizes AS (SELECT doc_id, count(*) AS n_words FROM rare GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common

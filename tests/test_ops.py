@@ -450,3 +450,30 @@ def test_nn_pairs_lsh_dedup_exchange_carries_no_embeddings(spark, embeddings):
             (ln for ln in b.split("\n") if ln.strip().startswith("Input")), ""
         )
         assert "ea#" not in inp and "eb#" not in inp and "embedding" not in inp, inp
+
+
+def test_word_jaccard_adaptive_cap_scales_with_block(spark):
+    """VERDICT r3 item 4: the df cap tracks block size, so hot words that
+    sit under a static cap in a grown block are still excluded.  Block of
+    100 docs -> cap min(1000, max(16, floor(100/20))) = 16: a word in 20
+    docs is capped; the same word in a 4-doc block (cap 16) is not."""
+    # 20 docs all sharing 'hot', plus pairwise-rare filler; one planted
+    # near-dup pair glued by rare words
+    rows = []
+    for i in range(100):
+        extra = "hot " if i < 20 else ""
+        rows.append((i, f"{extra}w{i}a w{i}b w{i}c w{i}d", "big"))
+    rows.append((200, "alpha beta gamma delta epsilon", "big"))
+    rows.append((201, "alpha beta gamma delta zeta", "big"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = word_jaccard_pairs(df, min_jaccard=0.5).collect()
+    # the planted rare pair survives; no pair is glued by 'hot' alone
+    assert [(p.doc_id_a, p.doc_id_b) for p in pairs] == [(200, 201)]
+    # 'hot' is capped (df=20 > cap 16): set sizes of hot docs exclude it
+    sizes = {p.doc_id_a: p.n_a for p in pairs}
+    got = word_jaccard_pairs(
+        df.where(F.col("doc_id").isin(0, 1)), min_jaccard=0.0
+    ).collect()
+    # in the tiny 2-doc block the cap floors at min_df_cap=16, df(hot)=2:
+    # 'hot' counts again and the pair shares exactly it
+    assert [(p.doc_id_a, p.doc_id_b, p.n_common) for p in got] == [(0, 1, 1)]
