@@ -223,3 +223,109 @@ def test_stream_extract_kill_resume_exactly_once(spark, tmp_path, vocab):
     )
     assert got == want  # exactly-once: no gaps, no duplicates
     assert len(got) > rows_after_kill  # the restart genuinely added work
+
+
+def test_stream_extract_midbatch_failure_idempotent_replay(spark, tmp_path, vocab):
+    """VERDICT r3 item 8: kill DURING a micro-batch, not between them — a
+    poisoned partition fails the trigger after sibling tasks may already
+    have written sink part-files.  The parquet sink's manifest commit log
+    must (a) hide the torn batch from readers while the job is down and
+    (b) replay it exactly once on restart from the same checkpoint."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kg.mention import EXTRACT_SCHEMA, explode_text_spans, extract_sentences
+    from kg.synth import docs_to_df, synth_docs
+
+    docs = synth_docs(60)
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    flag = str(tmp_path / "poison.flag")
+    poison_doc = docs[40]["doc_id"]
+
+    def dump(chunk, name):
+        tmp = tmp_path / f"tmp_{name}"
+        docs_to_df(spark, chunk).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(tmp / part, in_dir / f"{name}.parquet")
+
+    def poisoned_extract(stream_docs):
+        ex = extract_sentences(explode_text_spans(stream_docs), vocab)
+
+        def k(batches):
+            import time as _t
+
+            for pdf in batches:
+                if os.path.exists(flag) and (pdf["doc_id"] == poison_doc).any():
+                    _t.sleep(2)  # let sibling tasks finish + write sink files
+                    raise RuntimeError("injected mid-batch partition failure")
+                yield pdf
+
+        return ex.mapInPandas(k, EXTRACT_SCHEMA)
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs_to_df(spark, docs[:1]).schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(str(in_dir))
+        )
+        return (
+            poisoned_extract(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+
+    # wave A commits cleanly
+    dump(docs[:20], "a0")
+    dump(docs[20:40], "a1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows_a = spark.read.parquet(str(out_dir)).count()
+    assert rows_a > 0
+
+    # wave B: 4 files in ONE trigger, one partition poisoned -> the batch
+    # fails mid-flight with sibling task output already on disk
+    open(flag, "w").close()
+    for i in range(4):
+        dump(docs[40 + i * 5 : 45 + i * 5], f"b{i}")
+    q2 = start()
+    failed = False
+    try:
+        q2.processAllAvailable()
+    except Exception:  # noqa: BLE001 — StreamingQueryException wrapper
+        failed = True
+    finally:
+        try:
+            q2.stop()
+        except Exception:  # noqa: BLE001
+            pass
+    assert failed, "poisoned partition must abort the micro-batch"
+    # torn batch invisible: the sink's commit log hides any stray files
+    assert spark.read.parquet(str(out_dir)).count() == rows_a
+
+    # clear the fault, restart from the same checkpoint: the batch replays
+    os.remove(flag)
+    q3 = start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+
+    got = sorted(map(str, spark.read.parquet(str(out_dir)).collect()))
+    want = sorted(
+        map(
+            str,
+            extract_sentences(
+                explode_text_spans(docs_to_df(spark, docs)), vocab
+            ).collect(),
+        )
+    )
+    assert got == want  # exactly once: no gaps, no duplicated replay rows
