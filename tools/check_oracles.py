@@ -41,7 +41,9 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # 'name' selects, '-name' excludes (e.g. the quadratic exact twin at sf1)
+    only = {a for a in sys.argv[2:] if not a.startswith("-")}
+    skip = {a[1:] for a in sys.argv[2:] if a.startswith("-")}
     # the generated oracles (dim tables, probe keys, synth corpus size) must
     # be derived against the SAME sf_dir the Spark side reads (ADVICE r2)
     import os
@@ -55,7 +57,8 @@ def main():
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
+            print(f"{name:24s} SKIPPED") if name in skip else None
             continue
         try:
             df = fn(spark, sf_dir)
