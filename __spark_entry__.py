@@ -124,6 +124,26 @@ def _q_embedding_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def _lsh_geometry(sf_dir: str) -> tuple[int, int]:
+    """(n_planes, n_tables) for the LSH entry queries, derived from the
+    embedding cardinality at ``sf_dir`` with the SAME auto_lsh_config the
+    library defaults use — computed driver-side (duckdb metadata count, no
+    Spark job) so the Spark query and its SQL replay derive identical
+    geometry at every sf.  This makes the auto-sizing itself
+    oracle-checked: at sf1 the pair family runs at 12x8, at sf0.01 at 5x3,
+    both hash-compared."""
+    import duckdb as _duckdb
+
+    n = (
+        _duckdb.connect()
+        .execute(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        .fetchone()[0]
+    )
+    return S.auto_lsh_config(n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # SURVEY.md §2 relational operators (SQL-checked)
@@ -166,15 +186,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn_pairs": lambda s, d: S.embedding_nn_pairs(
             R.load(s, d, "embeddings"), threshold=0.4
         ),
-        # geometry pinned (not auto) so the SQL replay's plane dim table
-        # matches exactly; library defaults auto-size from cardinality
+        # geometry derives from the embedding cardinality via auto_lsh_config
+        # on BOTH sides (_lsh_geometry drives the plane dim table too), so
+        # the auto-sizing is itself SQL-checked at every sf
         "embedding_nn_pairs_lsh": lambda s, d: S.embedding_nn_pairs_lsh(
-            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=4, n_tables=1
+            R.load(s, d, "embeddings"), dim=64, threshold=0.4,
+            n_planes=_lsh_geometry(d)[0], n_tables=1,
         ),  # bucketed-approximate vs exact pairs, SQL-checked (plane dim table)
-        # OR-construction recall path (8 planes x 8 tables; recall >= 0.9 on
+        # OR-construction recall path (auto planes x tables; recall >= 0.9 on
         # planted near-dups gated in tests/test_ops.py); SQL-checked too
         "embedding_nn_pairs_lsh_multi": lambda s, d: S.embedding_nn_pairs_lsh(
-            R.load(s, d, "embeddings"), dim=64, threshold=0.4, n_planes=8, n_tables=8
+            R.load(s, d, "embeddings"), dim=64, threshold=0.4,
+            n_planes=_lsh_geometry(d)[0], n_tables=_lsh_geometry(d)[1],
         ),
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
@@ -193,7 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via the plane-weight dim table; recall@10 >= 0.9 pytest gate too
         "ann_lsh": lambda s, d: S.lsh_ann(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10,
-            n_planes=8, n_tables=8,  # pinned to match the SQL replay's dims
+            n_planes=_lsh_geometry(d)[0], n_tables=_lsh_geometry(d)[1],
         ),
         "cosine_topk_np": lambda s, d: S.cosine_topk_np(
             R.load(s, d, "embeddings"), _q_embedding_query_vec(s, d), k=10
@@ -282,14 +305,17 @@ _EMB_FLAT_CTE = """
 
 
 def _nn_pairs_lsh_sql() -> str:
-    """DuckDB replay of embedding_nn_pairs_lsh (dim=64, 4 planes, seed 13,
-    threshold 0.4): plane weights come from a driver-side dimension parquet;
-    the sign-pattern bucket, bucket-equal candidate pairs, and the rounded
-    cosine verify are plain SQL.  Sign margins are ~4e-4 on this data —
-    engine-independent (kg/oracle_tables.py ensure_plane_weights)."""
+    """DuckDB replay of embedding_nn_pairs_lsh (dim=64, auto-sized planes,
+    single table, seed 13, threshold 0.4): plane weights come from a
+    driver-side dimension parquet sized by the SAME _lsh_geometry the Spark
+    query uses; the sign-pattern bucket, bucket-equal candidate pairs, and
+    the rounded cosine verify are plain SQL.  Sign margins are ~4e-4 on
+    this data — engine-independent (kg/oracle_tables.py
+    ensure_plane_weights)."""
     from kg.oracle_tables import ensure_plane_weights
 
-    planes = ensure_plane_weights(64, 4, 1, 13, fingerprint=_code_fingerprint())
+    n_planes, _ = _lsh_geometry(_oracle_sf_dir())
+    planes = ensure_plane_weights(64, n_planes, 1, 13, fingerprint=_code_fingerprint())
     return f"""
         WITH {_EMB_FLAT_CTE},
         proj AS (
@@ -321,13 +347,17 @@ def _nn_pairs_lsh_sql() -> str:
 
 
 def _nn_pairs_lsh_multi_sql() -> str:
-    """DuckDB replay of the 8x8 OR-construction pair path: per-table
+    """DuckDB replay of the OR-construction pair path (auto-sized planes x
+    tables, from the same _lsh_geometry as the Spark query): per-table
     sign-pattern buckets from the multi-table plane-weight dim parquet,
     DISTINCT candidate pairs colliding in ANY table, rounded cosine verify
     at 0.4 (same engine-independence argument as _nn_pairs_lsh_sql)."""
     from kg.oracle_tables import ensure_plane_weights
 
-    planes = ensure_plane_weights(64, 8, 8, 13, fingerprint=_code_fingerprint())
+    n_planes, n_tables = _lsh_geometry(_oracle_sf_dir())
+    planes = ensure_plane_weights(
+        64, n_planes, n_tables, 13, fingerprint=_code_fingerprint()
+    )
     return f"""
         WITH {_EMB_FLAT_CTE},
         proj AS (
@@ -359,7 +389,7 @@ def _nn_pairs_lsh_multi_sql() -> str:
 
 
 def _ann_lsh_sql() -> str:
-    """DuckDB replay of lsh_ann (8 tables x 8 planes, Hamming-radius-2
+    """DuckDB replay of lsh_ann (auto-sized tables x planes, Hamming-radius-2
     multi-probe, k=10): per-vector bucket keys are re-derived in SQL from
     the plane-weight dimension parquet; the query's probe-key set (computed
     driver-side with the same NumPy planes) is inlined as VALUES; the final
@@ -370,7 +400,10 @@ def _ann_lsh_sql() -> str:
     from kg.ops.similarity import _planes, _probe_keys
     from kg.oracle_tables import ensure_plane_weights
 
-    planes_path = ensure_plane_weights(64, 8, 8, 13, fingerprint=_code_fingerprint())
+    n_planes, n_tables = _lsh_geometry(_oracle_sf_dir())
+    planes_path = ensure_plane_weights(
+        64, n_planes, n_tables, 13, fingerprint=_code_fingerprint()
+    )
     emb_path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
     q = (
         _duckdb.connect()
@@ -381,8 +414,8 @@ def _ann_lsh_sql() -> str:
     )
     qv = np.asarray(q, dtype=np.float64)
     probe_rows = []
-    for t in range(8):
-        qsigns = (_planes(64, 8, 13 + t) @ qv) >= 0
+    for t in range(n_tables):
+        qsigns = (_planes(64, n_planes, 13 + t) @ qv) >= 0
         probe_rows += [(t, key) for key in _probe_keys(qsigns, 2)]
     probes = ", ".join(f"({t}, '{k}')" for t, k in probe_rows)
     return f"""

@@ -368,6 +368,15 @@ def embedding_nn_pairs_lsh(
     if n_tables > 1:
         # a pair colliding in several tables must verify (and emit) once
         pairs = pairs.distinct()
+    # The verify kernel is CPU-bound (per-pair 2x-dim dot products), but the
+    # bare-pair set is tiny in BYTES — AQE coalesces it to a handful of
+    # partitions and the kernel runs nearly serial (observed at sf1: 12.5M
+    # pairs in 2 partitions).  Spread the pairs across the task slots before
+    # attaching embeddings; the exchanged rows are two ids each, so the
+    # extra shuffle is noise.
+    pairs = pairs.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
     emb_a = embeddings.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
     )
