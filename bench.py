@@ -404,12 +404,18 @@ measure above 0.72 on this box.
 - Incremental growth (run_pipeline_append, measured by bench_kg_append at
   50k base with BOTH a 10% and a 1% batch — see BENCH_r04.json kg_append,
   the single source for these numbers; the r3 BENCH.md/BENCH_r03 spread
-  was two measurement windows): perdoc_ratio is the appended stages' cost
-  as a fraction of the full run's per-document stages, and perdoc_norm is
-  the same normalized per appended document.  The 1% batch must show a
-  perdoc_ratio well below the 10% one (fixed costs amortize against the
-  batch, the growing corpus never re-pays), while the recomputed tail is
-  bounded by distinct mentions, not corpus size.
+  was two measurement windows).  Measured shape: end-to-end append costs
+  ~0.75x a full rerun at sandbox scale and is FLAT across batch sizes —
+  the 10% and 1% batches cost the same within noise, i.e. the appended
+  per-document work for <=5k docs sits below the measurement floor and
+  the cost is the recomputed linking/aggregation tail (bounded by
+  distinct mentions, not corpus size) plus ~2-3s of per-job fixed cost.
+  At production scale the per-document stages dominate a full run by
+  orders of magnitude, so append_vs_full approaches the batch fraction.
+  The append tail runs under the same pool-adaptive concurrent scheduler
+  as the fresh pipeline (round 4 — previously serial, which made
+  append_vs_full ~1.1 at this scale); note the per-stage `perdoc_*`
+  timings overlap under concurrency and sum to more than the phase wall.
 """
     md += _scale_bench_md()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:

@@ -320,6 +320,9 @@ def run_pipeline_append(
         return spark.read.parquet(*paths)
 
     new_docs = new_docs.localCheckpoint()
+    # documents then extract commit SERIALLY: each downstream append records
+    # its input stage's manifest fingerprint, which must be the post-append
+    # one for resume coherence (a plain re-run must skip everything).
     timed_append(
         "documents", new_docs,
         extra_inputs={"__input__": combined},
@@ -330,14 +333,6 @@ def run_pipeline_append(
         extract_sentences(explode_text_spans(new_docs), vocab),
         inputs=["documents"],
     )
-    timed_append("mentions", mentions_table(inc_extract), inputs=["extract"])
-    timed_append("triples", triples_table(inc_extract), inputs=["extract"])
-    timed_append(
-        "keyphrases", keyphrases_table(new_docs), inputs=["documents"]
-    )
-    inc_docs_out = timed_append(
-        "documents_out", passthrough_docs(new_docs), inputs=["documents"]
-    )
 
     def timed(name: str, fn, **kw):
         t0 = time.perf_counter()
@@ -345,41 +340,76 @@ def run_pipeline_append(
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # shared tail: recomputed over the full (old + increment) inputs
-    linked = timed(
-        "linked",
-        lambda: link_mentions(
-            cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
-        ),
-        inputs=["mentions"],
-    )
-    nodes = timed(
-        "nodes",
-        lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
-        inputs=["mentions", "linked"],
-        partition_by=["kind"],
-    )
-    edges = timed(
-        "edges",
-        lambda: build_edges(cat.read("triples"), cat.read("linked")),
-        inputs=["triples", "linked"],
-        partition_by=["pred"],
-    )
+    # Same pool-adaptive concurrency as run_pipeline (module docstring): the
+    # four sibling increments after extract, and nodes ∥ edges ∥ invariant
+    # after linking — without this the append tail ran serial and its fixed
+    # cost swamped the per-doc savings at small batch sizes (BENCH_r04).
+    with _stage_executor(spark) as ex:
+        f_mentions = ex.submit(
+            timed_append, "mentions", mentions_table(inc_extract),
+            inputs=["extract"],
+        )
+        f_triples = ex.submit(
+            timed_append, "triples", triples_table(inc_extract),
+            inputs=["extract"],
+        )
+        f_keyphrases = ex.submit(
+            timed_append, "keyphrases", keyphrases_table(new_docs),
+            inputs=["documents"],
+        )
+        f_docs_out = ex.submit(
+            timed_append, "documents_out", passthrough_docs(new_docs),
+            inputs=["documents"],
+        )
+        f_mentions.result()
+        # shared tail: recomputed over the full (old + increment) inputs;
+        # linking starts as soon as mentions commits
+        linked = timed(
+            "linked",
+            lambda: link_mentions(
+                cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
+            ),
+            inputs=["mentions"],
+        )
+        f_triples.result()
+        f_nodes = ex.submit(
+            timed, "nodes",
+            lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
+            inputs=["mentions", "linked"],
+            partition_by=["kind"],
+        )
+        f_edges = ex.submit(
+            timed, "edges",
+            lambda: build_edges(cat.read("triples"), cat.read("linked")),
+            inputs=["triples", "linked"],
+            partition_by=["pred"],
+        )
+        f_keyphrases.result()
+        inc_docs_out = f_docs_out.result()
+
+        f_violations = None
+        if check_invariant:
+            # increment-only: the prior run proved the old docs, and the
+            # span-sequence property is per-document, so the proofs compose
+            # — the append never pays a full-corpus scan for it
+            def _check() -> int:
+                t0 = time.perf_counter()
+                n = span_violations(new_docs, inc_docs_out).count()
+                timings["invariant_check"] = round(time.perf_counter() - t0, 3)
+                return n
+
+            f_violations = ex.submit(_check)
+
+        nodes = f_nodes.result()
+        edges = f_edges.result()
+        violations = f_violations.result() if f_violations is not None else 0
 
     documents = cat.read("documents")
     documents_out = cat.read("documents_out")
-    violations = 0
-    if check_invariant:
-        # increment-only: the prior run proved the old docs, and the
-        # span-sequence property is per-document, so the proofs compose —
-        # the append never pays a full-corpus scan for it
-        t0 = time.perf_counter()
-        violations = span_violations(new_docs, inc_docs_out).count()
-        timings["invariant_check"] = round(time.perf_counter() - t0, 3)
-        if violations:
-            raise AssertionError(
-                f"span-sequence invariant violated for {violations} docs"
-            )
+    if violations:
+        raise AssertionError(
+            f"span-sequence invariant violated for {violations} docs"
+        )
 
     tables = {
         "documents": documents,
@@ -394,7 +424,11 @@ def run_pipeline_append(
     }
     done = set(cat.executed)
     aux = [s for s in cat.executed if s not in tables and "+append" not in s]
-    appended = [s for s in cat.executed if "+append" in s]
+    # concurrent appends complete in nondeterministic order; report them in
+    # canonical DAG order (same rule as run_pipeline)
+    appended = [
+        f"{s}+append" for s in tables if f"{s}+append" in set(cat.executed)
+    ]
     executed = appended + [
         x
         for s in tables
