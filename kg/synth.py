@@ -144,16 +144,29 @@ def synth_docs_df(
         import pandas as pd
 
         sentences = sent_bc.value
+        # Yield in bounded chunks: a partition may cover millions of docs
+        # (n_docs / n_partitions), and materializing one pandas frame per
+        # partition is O(partition) memory — observed worker OOM at 16M
+        # docs on local[2].  50k-doc frames keep per-batch memory flat
+        # regardless of corpus or partition count.
+        chunk = 50_000
         for pdf in it:
-            ids, spans = [], []
             for start, stop in zip(pdf["start"], pdf["stop"]):
-                for d in range(int(start), int(stop)):
-                    doc = _synth_one(d, seed, sentences)
-                    ids.append(doc["doc_id"])
-                    spans.append(
-                        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in doc["spans"]]
-                    )
-            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+                lo = int(start)
+                while lo < int(stop):
+                    hi = min(lo + chunk, int(stop))
+                    ids, spans = [], []
+                    for d in range(lo, hi):
+                        doc = _synth_one(d, seed, sentences)
+                        ids.append(doc["doc_id"])
+                        spans.append(
+                            [
+                                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                                for s in doc["spans"]
+                            ]
+                        )
+                    yield pd.DataFrame({"doc_id": ids, "spans": spans})
+                    lo = hi
 
     step = max(1, -(-n_docs // n_partitions))
     bounds = [(i, min(i + step, n_docs)) for i in range(0, n_docs, step)]
