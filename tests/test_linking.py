@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from kg.linking import (
@@ -85,6 +86,56 @@ def test_salted_pairs_equal_plain_pairs(spark):
     hot_members = sorted(f"m{i:02d}" for i in range(40))
     want = set(combinations(hot_members, 2)) | {("a", "b")}
     assert got == want  # salting loses no pair and invents none
+
+
+def test_linking_verify_join_carries_no_text(spark):
+    """VERDICT r4 item 3 (the kg/ops/dedup.py discipline, r2 item 2): no
+    mention text crosses the candidate-pair shuffle — the verify runs
+    JVM-side over shingle-hash arrays keyed by surrogate ids, and no
+    Python kernel exists past the signature pass."""
+    from kg.linking import mention_edge_ids, mention_shingle_buckets
+
+    texts = ["alpha beta gamma", "alpha beta gamme", "unrelated thing"]
+    df = spark.createDataFrame([(t,) for t in texts], "mention string")
+    base = (
+        mention_shingle_buckets(df)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    assert set(base.columns) == {"mention", "shingles", "buckets", "mid"}
+    core = base.select("mid", "shingles", "buckets").localCheckpoint()
+    plan = mention_edge_ids(core)._jdf.queryExecution().analyzed().toString()
+    assert "array_intersect" in plan
+    assert "mention" not in plan  # text stops at the (checkpointed) kernel
+    assert "MapInPandas" not in plan  # verify is not a Python kernel
+
+
+def test_verified_edge_ids_matches_python_jaccard(spark):
+    """The JVM array_intersect verify computes the SAME exact Jaccard as
+    the driver-side twin (shared shingle function), threshold inclusive."""
+    from kg.linking import mention_edge_ids, mention_shingle_buckets
+
+    texts = [
+        "中国人民解放军总政治部",
+        "中国人民解放军总政治部门",
+        "中华人民共和国国务院",
+        "北京",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "mention string")
+    base = (
+        mention_shingle_buckets(df)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    idmap = {r.mid: r.mention for r in base.select("mid", "mention").collect()}
+    core = base.select("mid", "shingles", "buckets").localCheckpoint()
+    got = {
+        tuple(sorted((idmap[r.m1], idmap[r.m2]))): r.sim
+        for r in mention_edge_ids(core, threshold=0.0).collect()
+    }
+    assert got, "candidates must exist on these near-duplicates"
+    for (t1, t2), sim in got.items():
+        assert sim == pytest.approx(jaccard(t1, t2), abs=1e-12)
 
 
 def test_mega_bucket_dropped(spark):

@@ -412,6 +412,23 @@ def test_auto_lsh_config_tracks_cardinality():
         assert 1 - (1 - p) ** L >= 0.9
     # explicit planes with unknown n: only the table count is derived
     assert auto_lsh_config(n_planes=8)[0] == 8
+    # no sizing input at all is a caller bug, not a TypeError from max()
+    with pytest.raises(ValueError, match="n_vectors or n_planes"):
+        auto_lsh_config()
+
+
+def test_pinned_planes_keep_single_table_semantics(spark):
+    """ADVICE r4: pinning n_planes while leaving n_tables unset must stay
+    the historical single-table geometry — tables auto-derive only on the
+    fully-auto path."""
+    from kg.ops.similarity import _resolve_lsh_geometry
+
+    emb = spark.createDataFrame([(0, [1.0] * 4)], "vec_id long, embedding array<float>")
+    assert _resolve_lsh_geometry(emb, n_planes=4, n_tables=None, n_vectors=None) == (4, 1)
+    assert _resolve_lsh_geometry(emb, n_planes=4, n_tables=7, n_vectors=None) == (4, 7)
+    # fully-auto still derives both from cardinality
+    p, t = _resolve_lsh_geometry(emb, n_planes=None, n_tables=None, n_vectors=2_000)
+    assert (p, t) == (8, 5)
 
 
 def test_nn_pairs_lsh_dedup_exchange_carries_no_embeddings(spark, embeddings):
