@@ -580,15 +580,36 @@ def _minhash_clusters_sql() -> str:
     8-band LSH keys, bucket cap 100, exact-Jaccard verify >= 0.6, and
     connected components as unrolled materialized label-propagation rounds
     (_cc_label_prop_ctes — the recursive-closure version exhausted DuckDB
-    temp disk at sf1, VERDICT r4 item 4)."""
+    temp disk at sf1, VERDICT r4 item 4).
+
+    The 32 MinHashes are 32 ``min()`` expressions in ONE GROUP BY over the
+    shingle table, not a shingles x params CROSS JOIN: the join form
+    materialized ~0.5G intermediate rows at sf1 (~20 GB of DuckDB temp
+    spill, measured) for the identical modular arithmetic."""
     from kg.linking import _hash_params
 
     a_params, b_params = _hash_params(num_hashes=32, seed=11)
-    hash_values = ", ".join(
-        f"({i}, {int(a_params[i])}::bigint, {int(b_params[i])}::bigint)"
+    min_cols = ",\n                 ".join(
+        f"min(({int(a_params[i])} * h + {int(b_params[i])})"
+        f" % 2147483647) AS v{i}"
         for i in range(32)
     )
     two61 = 1 << 61
+
+    def band_expr(b: int) -> str:
+        i0 = 4 * b
+        return (
+            f"'{b}:' || printf('%x', (("
+            f"(v{i0}::hugeint * 1000003 * 1000003 * 1000003) % {two61}"
+            f" + (v{i0 + 1}::hugeint * 1000003 * 1000003) % {two61}"
+            f" + (v{i0 + 2}::hugeint * 1000003) % {two61}"
+            f" + v{i0 + 3}::hugeint"
+            f") % {two61})::bigint)"
+        )
+
+    keys_union = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {band_expr(b)} AS bucket FROM sig" for b in range(8)
+    )
     return f"""
         WITH
         words AS (
@@ -603,29 +624,19 @@ def _minhash_clusters_sql() -> str:
                        unnest(range(1, CASE WHEN len(ws) >= 2 THEN len(ws)
                                             ELSE len(ws) + 1 END)) AS i
                 FROM words)),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT DISTINCT doc_id,
                  list_reduce(
                    list_transform(regexp_split_to_array(gram, ''),
                                   c -> unicode(c)::bigint),
                    (acc, c) -> (acc * 131 + c) % 2147483647) AS h
           FROM grams),
-        params(i, ha, hb) AS (VALUES {hash_values}),
-        sig AS (
-          SELECT doc_id, i, min((ha * h + hb) % 2147483647) AS v
-          FROM sh CROSS JOIN params GROUP BY doc_id, i),
-        bandv AS (SELECT doc_id, i // 4 AS band, i % 4 AS pos, v FROM sig),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {min_cols}
+          FROM sh GROUP BY doc_id),
         keys AS (
-          SELECT doc_id, band,
-                 band || ':' || printf('%x', ((
-                   (max(CASE WHEN pos = 0 THEN v END)::hugeint
-                      * 1000003 * 1000003 * 1000003) % {two61}
-                   + (max(CASE WHEN pos = 1 THEN v END)::hugeint
-                      * 1000003 * 1000003) % {two61}
-                   + (max(CASE WHEN pos = 2 THEN v END)::hugeint * 1000003) % {two61}
-                   + max(CASE WHEN pos = 3 THEN v END)::hugeint
-                 ) % {two61})::bigint) AS bucket
-          FROM bandv GROUP BY doc_id, band),
+          {keys_union}),
         sized AS (
           SELECT k.doc_id, k.bucket FROM keys k
           JOIN (SELECT bucket, count(*) AS bsz FROM keys GROUP BY bucket) s
