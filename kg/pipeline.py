@@ -23,10 +23,13 @@ the four post-extract stages and the three post-linking stages are pure
 wins.  Concurrency only pays when the pool is wider than one stage's
 effective parallelism: on a small pool every stage already saturates the
 task slots, and competing jobs only add scheduler contention and
-peak-memory pressure (measured on this box at 4M docs: local[2] 615s
-4-way vs 390s serial; local[8] 162s vs 148s; while at local[32]/100k docs
-4-way wins 21s vs 38s).  The width therefore adapts — serial below 16
-slots, 4-way at 16+ (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
+peak-memory pressure (measured on this box: local[2]/4M docs 615s 4-way
+vs 390s serial; local[32]/100k docs 4-way wins 21s vs 38s; and at
+local[8]/2M docs — re-measured round 5 on current code — 4-way wins
+66.4s vs 72.9s serial: the tail stages are I/O-bandwidth-bound and
+cannot individually fill 8 cores, so overlapping them recovers the idle
+compute).  The width therefore adapts — serial below 8 slots, 4-way at
+8+ (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
 ``PipelineResult.executed`` stays deterministic either way: completion
 order is canonicalized to DAG order.
 """
@@ -78,7 +81,7 @@ def _stage_executor(spark: SparkSession):
         workers = int(env)
     else:
         slots = spark.sparkContext.defaultParallelism
-        workers = 4 if slots >= 16 else 0
+        workers = 4 if slots >= 8 else 0
     if workers <= 0:
         return _SerialExecutor()
     return ThreadPoolExecutor(max_workers=workers, thread_name_prefix="kg-stage")

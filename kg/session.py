@@ -72,6 +72,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # zstd instead of snappy for every parquet checkpoint: ~2x fewer
+        # bytes through storage for ~equal CPU at level 1.  Storage/network
+        # bandwidth is the resource that does NOT scale with cores on a
+        # single host (and is the contended resource on a real cluster's
+        # network), while compression CPU parallelizes perfectly — measured
+        # here (2M docs): local[2] wall 192->183s, local[8] 4-way 66.4->64.7s.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_KG_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
