@@ -119,6 +119,52 @@ def mention_shingle_buckets(mention_texts: DataFrame) -> DataFrame:
     )
 
 
+def signature_base(
+    distinct: DataFrame, catalog=None, stage_name: str = "cc_sigs"
+) -> DataFrame:
+    """Durable, append-only signature table over DISTINCT mentions.
+
+    The 100-TB growth shape: signatures are pure per-row functions of the
+    mention string, so when the corpus grows, the Arrow kernel only needs
+    to run over never-before-seen mentions — the anti-join delta — and the
+    new rows are appended file-wise through ``StageCatalog.append``
+    (tests/test_incremental_sigs.py pins that the kernel sees exactly the
+    delta).  Rows whose mention is NOT in the current distinct set mean the
+    catalog dir was reused for a different (non-superset) corpus: stale
+    signature rows could bridge CC components and corrupt canonical labels,
+    so the table is rebuilt from scratch instead.  Both checks are one
+    full-outer reconciliation pass, bounded by the distinct-mention count —
+    orders of magnitude below the corpus.  Without a catalog this is
+    exactly one kernel pass (the legacy path, unchanged).
+    """
+    if catalog is None:
+        return mention_shingle_buckets(distinct)
+    if catalog.manifest(stage_name) is None:
+        return catalog.run(stage_name, lambda: mention_shingle_buckets(distinct))
+    distinct = distinct.localCheckpoint()  # scanned by reconcile + delta
+    existing = catalog.read(stage_name)
+    counts = (
+        distinct.withColumn("_new", F.lit(1))
+        .join(
+            existing.select("mention").withColumn("_old", F.lit(1)),
+            "mention",
+            "full_outer",
+        )
+        .select(
+            F.count(F.when(F.col("_old").isNull(), 1)).alias("n_delta"),
+            F.count(F.when(F.col("_new").isNull(), 1)).alias("n_stale"),
+        )
+        .collect()[0]
+    )
+    if counts["n_stale"]:
+        catalog.write(stage_name, mention_shingle_buckets(distinct))
+        catalog.executed.append(stage_name)
+    elif counts["n_delta"]:
+        delta = distinct.join(existing.select("mention"), "mention", "left_anti")
+        catalog.append(stage_name, mention_shingle_buckets(delta))
+    return catalog.read(stage_name)
+
+
 def candidate_pairs(
     buckets: DataFrame,
     max_bucket: int = 200,
@@ -394,7 +440,11 @@ def link_mentions(
     Mentions that never met a similar partner map to themselves.
 
     The signature kernel runs ONCE over distinct mentions (``base``,
-    materialized); the candidate/verify path then works entirely on a
+    materialized) — and, when a ``catalog`` is given, once per NEVER-SEEN
+    mention across the catalog's lifetime: the signature table persists as
+    the ``{stage_prefix}_sigs`` stage and appended corpora only pay the
+    kernel for their delta (``signature_base``); the candidate/verify path
+    then works entirely on a
     TEXT-FREE projection of it (``core``: surrogate id + shingle arrays +
     bucket keys — its own checkpoint, so the analyzed plan downstream
     carries no mention attribute at all), and mention text re-attaches only
@@ -410,7 +460,9 @@ def link_mentions(
     """
     distinct = mentions.select("mention").distinct()
     base = (
-        mention_shingle_buckets(distinct)
+        signature_base(
+            distinct, catalog=catalog, stage_name=f"{stage_prefix}_sigs"
+        )
         .withColumn("mid", F.monotonically_increasing_id())
         .localCheckpoint()
     )

@@ -433,7 +433,13 @@ def run_pipeline_append(
         "documents_out": documents_out,
     }
     done = set(cat.executed)
-    aux = [s for s in cat.executed if s not in tables and "+append" not in s]
+    # non-table (CC/signature) stages stay in the ledger whether computed or
+    # appended — e.g. linked_cc_sigs+append is the proof the signature table
+    # grew incrementally; table-stage appends are reported via `appended`
+    aux = [
+        s for s in cat.executed
+        if (s[: -len("+append")] if s.endswith("+append") else s) not in tables
+    ]
     # concurrent appends complete in nondeterministic order; report them in
     # canonical DAG order (same rule as run_pipeline)
     appended = [
