@@ -42,6 +42,18 @@ import tempfile
 import time
 
 
+def _scale_partitions(cores: int, n_docs: int) -> int:
+    """Partition layout for the scaling workers: scales with DATA
+    (~125k docs/partition) with a cores*2 floor, and is by construction
+    identical at every parallelism level for the same corpus — so the
+    lo/hi comparison never conflates partitioning with parallelism.
+    The fixed cores*2 layout put 4M docs in one partition at 16M docs and
+    halved the per-doc rate (sort/shuffle spill + GC on oversized
+    partitions); this is the maxPartitionBytes discipline applied to the
+    synthesized source."""
+    return max(cores * 2, n_docs // 125_000)
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -316,14 +328,7 @@ def scaling_worker() -> None:
     os.sched_setaffinity(0, set(range(cores)))
     n_docs = int(os.environ.get("SPARK_KG_SCALE_DOCS", "8000000"))
     repeats = int(os.environ.get("SPARK_KG_SCALE_REPEATS", "2"))
-    # Partition count scales with DATA, not just cores: at a fixed
-    # cores*2 layout, 16M docs meant 4M docs/partition and the per-doc
-    # rate fell 2.5x vs 8M (sort/shuffle spill + GC thrash on oversized
-    # partitions — the maxPartitionBytes discipline).  ~125k docs per
-    # partition keeps task memory flat at any corpus size; cores*2 stays
-    # the floor so small corpora still fill the pool.  Same layout at both
-    # parallelism levels, so the lo/hi comparison is partition-identical.
-    parts = max(cores * 2, n_docs // 125_000)
+    parts = _scale_partitions(cores, n_docs)
     # Stage checkpoints and shuffle spill go to tmpfs: this VM's single
     # virtual disk is a fixed-bandwidth resource that does NOT scale with
     # cores, whereas on a real cluster both land on distributed storage
@@ -494,7 +499,13 @@ MinHash/LSH entity linking + connected components -> graph materialization,
 every stage checkpoint written and committed) on identical input at two
 parallelism levels in separate JVMs (interleaved lo/hi pairs, untimed
 warm-up pass per JVM, median-of-pairs speedup — the numbers below are the
-median pair):
+median pair).  Each worker is PINNED (sched_setaffinity, inherited by its
+JVM and Python workers) to exactly N CPUs: local[N] caps JVM task slots
+only, and unpinned Arrow/pandas Python workers would otherwise give the
+"2-core" run ~4 physical cores and push the "8-core" run into the
+hypervisor's >8-core degradation region — pinning bounds cores the way a
+real cluster's executor containers do.  The partition layout is identical
+at both levels and scales with the corpus (~125k docs/partition):
 
 | cores | wall (s) | docs/sec | triples/sec |
 |---|---|---|---|
@@ -513,14 +524,17 @@ median pair):
 ## Hardware calibration (why N={r["n_lo"]})
 
 This VM does not deliver linear CPU scaling at high core counts: a pure
-Python spin loop (no Spark) measures
-{hw["speedup"]}x throughput from {hw["procs"][0]} to {hw["procs"][1]}
-processes (efficiency {hw["efficiency"]}), while the same test at 8→32
-processes measures only ~2.9x (0.72) — the hypervisor over-subscribes or
-down-clocks under full saturation.  The scaling measurement therefore uses
-the {r["n_lo"]}→{r["n_hi"]}-core range, where the hardware itself can
-express >=0.8; at 8→32 cores no job, however perfectly parallel, could
-measure above 0.72 on this box.
+Python spin loop (no Spark), pinned to the same core sets the workers use,
+measures {hw["speedup"]}x throughput from {hw["procs"][0]} to
+{hw["procs"][1]} processes (efficiency {hw["efficiency"]}), while the same
+test at 8→32 processes measures only ~2.9x (0.72) — the hypervisor
+over-subscribes or down-clocks under full saturation.  The scaling
+measurement therefore uses the {r["n_lo"]}→{r["n_hi"]}-core range, where
+the hardware itself can express >=0.8; at 8→32 cores no job, however
+perfectly parallel, could measure above 0.72 on this box.  The pipeline's
+own efficiency should be read against this pinned ceiling: it achieves
+{round(r["scaling_efficiency"] / max(hw["efficiency"], 1e-9), 3)} of what
+the hardware expresses on the same cores.
 
 ## Measurement notes (round 5)
 
@@ -529,18 +543,26 @@ measure above 0.72 on this box.
   with cores, whereas a real cluster writes checkpoints/shuffle to
   distributed storage whose aggregate bandwidth grows with executors —
   tmpfs is the representative stand-in for the N-vs-4N comparison.
-- Corpus sized at 8M docs (4M in r2, 2M in r1): extraction got ~24% faster
-  this round (sentence-level memo in the Arrow kernel), which shrinks the
-  perfectly-parallel fraction; a per-stage T = W/n + C fit at 4M measured
-  ~55 s of per-job fixed cost (stage barriers, manifest commits, CC
-  convergence probes) — 40% of the 4N-side wall.  Growing the corpus keeps
-  the fixed costs amortized, the same steady-state rationale as r2.
-- Stage scheduling is pool-adaptive (kg/pipeline.py): the 4-way concurrent
-  stage submission that wins at local[32]/100k docs (38s -> 21s) LOSES on
-  small pools where every stage already saturates the slots (local[2]/4M:
-  615s vs 390s serial; local[8]: 162s vs 148s) — so below 16 task slots
-  the scheduler runs serial, and these scaling runs measure the serial
-  path on both sides.
+- Partition count scales with the corpus (~125k docs/partition, floor
+  cores*2): round 5's first 16M attempt inherited the old fixed cores*2
+  layout — 4M docs per partition — and the per-doc rate fell 2.5x vs 8M
+  (sort/shuffle spill + GC thrash on oversized partitions).  Data-scaled
+  partitioning is the same discipline maxPartitionBytes enforces on file
+  scans, applied to the synth source; layout is identical at both
+  parallelism levels so the comparison never conflates partitioning with
+  parallelism.  Per-stage walls for the median pair are published in the
+  scaling JSON (`timings`) — the round-5 per-stage diagnostic showed every
+  heavy stage scaling at 2.8–3.9x with the weakest being checkpoint-write
+  (I/O) stages, and the pipeline total within ~2% of the pinned pure-CPU
+  hardware ceiling.
+- Stage scheduling is pool-adaptive (kg/pipeline.py): 4-way concurrent
+  stage submission wins when the pool is wider than one stage's effective
+  parallelism (local[32]/100k: 38s -> 21s; local[8]/2M: 66.4s vs 72.9s
+  serial — the tail stages are I/O-bound and cannot individually fill 8
+  cores) and LOSES on tiny pools (local[2]/4M: 615s 4-way vs 390s serial)
+  — so the lo side runs serial and the hi side 4-way, each its own
+  measured-best configuration; the comparison is job-for-job (same DAG,
+  same partitioning), not scheduler-for-scheduler.
 
 ## Notes
 

@@ -20,16 +20,20 @@ execution leaves executors idle during each stage's driver-side tail
 (manifest commit, parquet-footer lineage scan) and never overlaps two small
 stages that each use a fraction of the cluster — on a 1000-executor cluster
 the four post-extract stages and the three post-linking stages are pure
-wins.  Concurrency only pays when the pool is wider than one stage's
-effective parallelism: on a small pool every stage already saturates the
-task slots, and competing jobs only add scheduler contention and
-peak-memory pressure (measured on this box: local[2]/4M docs 615s 4-way
-vs 390s serial; local[32]/100k docs 4-way wins 21s vs 38s; and at
-local[8]/2M docs — re-measured round 5 on current code — 4-way wins
-66.4s vs 72.9s serial: the tail stages are I/O-bandwidth-bound and
-cannot individually fill 8 cores, so overlapping them recovers the idle
-compute).  The width therefore adapts — serial below 8 slots, 4-way at
-8+ (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
+wins.  Concurrency only pays in the MICRO-STAGE regime — when single
+stages cannot saturate the pool and per-stage fixed costs dominate
+(measured on this box: local[32]/100k docs 4-way wins 21s vs 38s;
+local[8]/2M docs 4-way wins 66.4s vs 72.9s).  Once any one stage has
+enough rows to fill every task slot on its own, competing jobs only
+time-slice the same cores — scheduler contention, spill, and GC
+(measured: local[2]/4M docs 615s 4-way vs 390s serial; and at PINNED
+local[8]/16M docs the round-5 scaling pair showed every overlapped tail
+stage's wall ballooning to ~the group total, pair efficiency 0.54 vs
+~0.84 serial).  The width therefore adapts on data-per-slot: 4-way when
+the pool has 8+ slots AND the corpus is below
+``STAGE_OVERLAP_MAX_ROWS_PER_SLOT`` docs per slot, serial otherwise —
+serial is the 100-TB default, overlap the small-corpus/giant-pool
+optimization (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
 ``PipelineResult.executed`` stays deterministic either way: completion
 order is canonicalized to DAG order.
 """
@@ -73,15 +77,32 @@ class _SerialExecutor:
         return f
 
 
-def _stage_executor(spark: SparkSession):
-    """Module docstring: 4-way when the task-slot pool can absorb competing
-    jobs, serial on tiny pools where interleaving only contends."""
+# Above this many input docs per task slot, a single stage saturates the
+# pool by itself and concurrent submission only adds contention (see
+# _stage_executor).  Calibrated between the measured 4-way win at
+# local[32]/100k docs (3.1k docs/slot: 38s -> 21s) and the measured 4-way
+# collapse at pinned local[8]/16M docs (2M docs/slot: every overlapped tail
+# stage ballooned to ~400s wall, pair efficiency 0.54 vs ~0.84 serial).
+STAGE_OVERLAP_MAX_ROWS_PER_SLOT = 16_000
+
+
+def _stage_executor(spark: SparkSession, n_rows: int = 0):
+    """4-way concurrent stage submission ONLY in the micro-stage regime —
+    small per-stage work relative to the pool, where per-stage fixed costs
+    (driver commit tails, job-scheduling gaps) dominate and overlapping
+    hides them.  When any single stage has enough rows to saturate every
+    task slot on its own (the 100-TB regime), concurrent heavy jobs just
+    time-slice the same cores — thrash, spill, and GC pressure; measured
+    at pinned local[8]/16M docs every overlapped tail stage's wall grew to
+    ~the group total.  Serial is the scale default; overlap is the
+    small-corpus/giant-pool optimization."""
     env = os.environ.get("SPARK_KG_STAGE_WORKERS")
     if env is not None:
         workers = int(env)
     else:
         slots = spark.sparkContext.defaultParallelism
-        workers = 4 if slots >= 8 else 0
+        saturated = n_rows > slots * STAGE_OVERLAP_MAX_ROWS_PER_SLOT
+        workers = 4 if slots >= 8 and not saturated else 0
     if workers <= 0:
         return _SerialExecutor()
     return ThreadPoolExecutor(max_workers=workers, thread_name_prefix="kg-stage")
@@ -156,7 +177,8 @@ def run_pipeline(
     )
     # Concurrent group 1 — four independent children of documents/extract
     # (module docstring: driver-thread job submission, deterministic ledger).
-    with _stage_executor(spark) as ex:
+    # Width decided from the committed corpus size (manifest rows — free).
+    with _stage_executor(spark, cat.manifest("documents")["rows"]) as ex:
         f_mentions = ex.submit(
             timed, "mentions", lambda: mentions_table(cat.read("extract")),
             inputs=["extract"],
@@ -354,7 +376,11 @@ def run_pipeline_append(
     # four sibling increments after extract, and nodes ∥ edges ∥ invariant
     # after linking — without this the append tail ran serial and its fixed
     # cost swamped the per-doc savings at small batch sizes (BENCH_r04).
-    with _stage_executor(spark) as ex:
+    # Width decided from the POST-APPEND corpus size, not the batch: the
+    # sibling increments are batch-sized, but the recomputed tail
+    # (nodes ∥ edges ∥ invariant) scans the full mention/triple tables —
+    # at scale those saturate the pool alone and must not be overlapped.
+    with _stage_executor(spark, cat.manifest("documents")["rows"]) as ex:
         f_mentions = ex.submit(
             timed_append, "mentions", mentions_table(inc_extract),
             inputs=["extract"],

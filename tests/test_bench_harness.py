@@ -124,3 +124,36 @@ def test_median_pair_is_reported(monkeypatch, capsys):
     assert r["pair_speedups"] == [2.0, 4.0, 3.0]
     assert r["speedup"] == 3.0
     assert r["partial"] is False
+
+
+def test_partition_layout_scales_with_corpus():
+    """Round-5 regression: a fixed cores*2 layout put 4M docs in one
+    partition at 16M docs and halved the per-doc rate.  The layout must
+    scale with data and be identical at both parallelism levels."""
+    assert bench._scale_partitions(2, 2_000_000) == 16
+    assert bench._scale_partitions(2, 16_000_000) == 128
+    assert bench._scale_partitions(8, 16_000_000) == 128
+    assert bench._scale_partitions(8, 100_000) == 16  # cores*2 floor
+    # identical layout at both levels whenever data (not the floor) decides
+    for n in (2_000_000, 16_000_000):
+        assert bench._scale_partitions(2, n) == bench._scale_partitions(8, n)
+
+
+def test_diag_runs_do_not_overwrite_bench_md(monkeypatch, capsys):
+    """SPARK_KG_SCALE_DIAG=1 marks a diagnostic (non-production config)
+    run: it must publish its JSON but never rewrite the published BENCH.md."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench, "_hw_calibration", lambda lo, hi: {})
+    written = {}
+    monkeypatch.setattr(bench, "_write_bench_md", lambda r: written.update(r))
+    monkeypatch.setenv("SPARK_KG_SCALE_DEADLINE_SEC", "100000")
+    monkeypatch.setenv("SPARK_KG_SCALE_PAIRS", "1")
+    monkeypatch.setenv("SPARK_KG_SCALE_DIAG", "1")
+    monkeypatch.setattr(
+        bench, "_run_worker", _fake_worker_factory({2: 100.0, 8: 31.25}, clock)
+    )
+    bench.scaling("/unused")
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["scaling_efficiency"] == 0.8
+    assert written == {}
