@@ -50,8 +50,11 @@ def _scale_partitions(cores: int, n_docs: int) -> int:
     The fixed cores*2 layout put 4M docs in one partition at 16M docs and
     halved the per-doc rate (sort/shuffle spill + GC on oversized
     partitions); this is the maxPartitionBytes discipline applied to the
-    synthesized source."""
-    return max(cores * 2, n_docs // 125_000)
+    synthesized source.  ~500k docs/partition: the measured sweet spot —
+    2M docs/partition was fine at 8M (round-5 diagnostic) while 4M hit
+    the cliff; 125k (64 parts at 8M) measurably taxed the big
+    shuffle/join stages ~30-50% vs the 16-partition layout."""
+    return max(cores * 2, n_docs // 500_000)
 
 
 def _median(xs: list[float]) -> float:
@@ -328,7 +331,9 @@ def scaling_worker() -> None:
     os.sched_setaffinity(0, set(range(cores)))
     n_docs = int(os.environ.get("SPARK_KG_SCALE_DOCS", "8000000"))
     repeats = int(os.environ.get("SPARK_KG_SCALE_REPEATS", "2"))
-    parts = _scale_partitions(cores, n_docs)
+    parts = int(os.environ.get("SPARK_KG_SCALE_PARTS", "0")) or _scale_partitions(
+        cores, n_docs
+    )
     # Stage checkpoints and shuffle spill go to tmpfs: this VM's single
     # virtual disk is a fixed-bandwidth resource that does NOT scale with
     # cores, whereas on a real cluster both land on distributed storage
@@ -451,6 +456,15 @@ def scaling(sf_dir: str) -> None:
             )
             break
         t_pair = time.monotonic()
+        # Per-pair hardware calibration: the hypervisor's delivered 2->8-core
+        # CPU ratio swings 0.78-1.0 window to window (measured round 5 —
+        # steal/throttle, not topology: 32 exposed cores, no SMT), so a
+        # single end-of-run calibration cannot characterize pairs measured
+        # an hour earlier.  Each pair records the ceiling of its own window;
+        # the report publishes raw efficiency (headline) AND the per-pair
+        # ceilings so a depressed window is visible instead of silently
+        # folded into the pipeline's number.
+        cal = _hw_calibration(n_lo, n_hi)
         try:
             lo = _run_worker(n_lo, deadline - time.monotonic())
             hi = _run_worker(n_hi, deadline - time.monotonic())
@@ -459,6 +473,7 @@ def scaling(sf_dir: str) -> None:
             timed_out = True
             break
         slowest_pair = max(slowest_pair, time.monotonic() - t_pair)
+        lo["hw_pair"] = hi["hw_pair"] = cal
         runs[n_lo].append(lo)
         runs[n_hi].append(hi)
         speedups.append(hi["docs_per_sec"] / lo["docs_per_sec"])
@@ -478,6 +493,7 @@ def scaling(sf_dir: str) -> None:
         "speedup": round(speedups[mid], 3),
         "scaling_efficiency": round(speedups[mid] / 4.0, 3),
         "hw_calibration": _hw_calibration(n_lo, n_hi),
+        "hw_per_pair": [r.get("hw_pair") for r in runs[n_lo]],
     }
     print(json.dumps(report))
     # diagnostic runs (non-production scheduler/corpus configs) must not
@@ -488,6 +504,10 @@ def scaling(sf_dir: str) -> None:
 
 def _write_bench_md(r: dict) -> None:
     lo, hi, hw = r["lo"], r["hi"], r["hw_calibration"]
+    pair_hw = lo.get("hw_pair") or hw
+    per_pair_hw = [
+        c.get("efficiency") for c in r.get("hw_per_pair", []) if c
+    ]
     md = f"""# BENCH — measured results
 
 ## Scaling (north rule: efficiency >= 0.8 from N to 4N executors)
@@ -516,6 +536,13 @@ at both levels and scales with the corpus (~125k docs/partition):
 - per-pair speedups: {r.get("pair_speedups", [])} ({r.get("pairs_completed", "?")} of {r.get("pairs_requested", "?")} requested pairs completed{" — PARTIAL: wall-clock deadline hit, remaining pairs skipped and workers killed" if r.get("partial") else ""})
 - median speedup {r["n_lo"]}→{r["n_hi"]} cores: **{r["speedup"]}x** (ideal 4x)
 - scaling efficiency: **{r["scaling_efficiency"]}** (gate: >= 0.8)
+- per-pair pinned hw ceilings (same window as each pair): {per_pair_hw}
+- median pair's ceiling-normalized efficiency:
+  **{round(r["scaling_efficiency"] / pair_hw["efficiency"], 3) if pair_hw.get("efficiency") else "n/a"}**
+  — the pipeline's speedup divided by what a perfectly-parallel pure-CPU
+  job achieved on the same pinned cores in the same minutes (this VM's
+  delivered 2→8-core ratio swings 0.78–1.0 with hypervisor steal; raw
+  efficiency above remains the headline number)
 - deadline discipline (VERDICT r4 item 1): the harness enforces
   SPARK_KG_SCALE_DEADLINE_SEC with process-group SIGKILL + tmpfs reclaim,
   so no measurement job can outlive its window and contaminate the
@@ -531,10 +558,15 @@ test at 8→32 processes measures only ~2.9x (0.72) — the hypervisor
 over-subscribes or down-clocks under full saturation.  The scaling
 measurement therefore uses the {r["n_lo"]}→{r["n_hi"]}-core range, where
 the hardware itself can express >=0.8; at 8→32 cores no job, however
-perfectly parallel, could measure above 0.72 on this box.  The pipeline's
-own efficiency should be read against this pinned ceiling: it achieves
-{round(r["scaling_efficiency"] / max(hw["efficiency"], 1e-9), 3)} of what
-the hardware expresses on the same cores.
+perfectly parallel, could measure above 0.72 on this box.  Within the
+2→8 range the DELIVERED ratio still swings 0.78–1.0 minute to minute
+(hypervisor steal — 32 exposed cores, no SMT), which is why every pair
+carries its own same-window calibration above.
+
+Full round-5 measurement history — every window, including the failed
+16M configurations that located the three root causes (affinity,
+data-scaled partitions, data-aware stage overlap) — is in
+`bench_history_r5.md`.
 
 ## Measurement notes (round 5)
 

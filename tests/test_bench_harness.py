@@ -130,12 +130,12 @@ def test_partition_layout_scales_with_corpus():
     """Round-5 regression: a fixed cores*2 layout put 4M docs in one
     partition at 16M docs and halved the per-doc rate.  The layout must
     scale with data and be identical at both parallelism levels."""
-    assert bench._scale_partitions(2, 2_000_000) == 16
-    assert bench._scale_partitions(2, 16_000_000) == 128
-    assert bench._scale_partitions(8, 16_000_000) == 128
+    assert bench._scale_partitions(2, 8_000_000) == 16
+    assert bench._scale_partitions(2, 16_000_000) == 32
+    assert bench._scale_partitions(8, 16_000_000) == 32
     assert bench._scale_partitions(8, 100_000) == 16  # cores*2 floor
     # identical layout at both levels whenever data (not the floor) decides
-    for n in (2_000_000, 16_000_000):
+    for n in (8_000_000, 16_000_000):
         assert bench._scale_partitions(2, n) == bench._scale_partitions(8, n)
 
 
