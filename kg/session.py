@@ -62,6 +62,29 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_KG_SHUFFLE_PARTITIONS", "32"))
 
+    # Allocator retention (round 5 scaling root cause #5, BENCH.md): this
+    # host's anonymous page-fault path scales NEGATIVELY with concurrency
+    # (2 procs 3.5 GB/s -> 8 procs 0.7 GB/s first-touch), while warm-page
+    # streaming scales at ~0.9 — so every buffer an allocator returns to
+    # the kernel and re-requests is a scalability tax.  glibc munmaps every
+    # free() above the (dynamic, <=32MB) mmap threshold, which is exactly
+    # the Arrow-batch / numpy-temporary size class our kernels allocate per
+    # batch.  Pinning the threshold high and disabling trim makes worker
+    # arenas retain their high-water mark: faults are paid once per
+    # long-lived worker (what steady-state executors on a real cluster do)
+    # instead of once per batch.  Must be in the environment BEFORE the JVM
+    # launches: local-mode Python workers fork from the JVM and glibc reads
+    # tunables only at process start.  ARROW_DEFAULT_MEMORY_POOL=system
+    # routes pyarrow through the same retaining arena (jemalloc's default
+    # 1s dirty-page decay re-faults between batches).
+    worker_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 31),
+        "ARROW_DEFAULT_MEMORY_POOL": "system",
+    }
+    for k, v in worker_env.items():
+        os.environ.setdefault(k, v)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -79,7 +102,33 @@ def get_spark(
         # network), while compression CPU parallelizes perfectly — measured
         # here (2M docs): local[2] wall 192->183s, local[8] 4-way 66.4->64.7s.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Split sizing for compute-dense scans: maxPartitionBytes' 128MB
+        # default assumes scan-bound work, but zstd text checkpoints here
+        # measure ~46 BYTES/doc while the extract kernel costs ~25 us/doc —
+        # a 128MB split would be a ~130s task, so stage parallelism ends up
+        # bytes-quantized (at 2M docs the whole corpus is ~92MB = ONE wave
+        # of splits; scan-bound stages measured 2.7-3.0x from 2->8 cores vs
+        # 3.5x for post-shuffle stages).  16MB targets ~8s tasks on these
+        # columns; openCost drops to 512KB because checkpoint files on
+        # tmpfs/distributed storage are cheap to open and the 4MB default
+        # otherwise dominates bin-packing of small zstd files.  At 100 TB
+        # both only make MORE splits than cores — correct there too.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_KG_DRIVER_MEM", "8g"))
+        # Fixed heap + pre-touch: fault the whole heap once at JVM start
+        # (outside any measured window) instead of growing it fault-by-fault
+        # under load — same rationale as the malloc retention above.  -Xms
+        # mirrors spark.driver.memory; on a cluster this is
+        # spark.executor.extraJavaOptions on long-lived executors.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_KG_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
+        # cluster-mode equivalent of the pre-fork env above (no-op locally)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", worker_env["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", worker_env["MALLOC_TRIM_THRESHOLD_"])
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
