@@ -525,7 +525,7 @@ only, and unpinned Arrow/pandas Python workers would otherwise give the
 "2-core" run ~4 physical cores and push the "8-core" run into the
 hypervisor's >8-core degradation region — pinning bounds cores the way a
 real cluster's executor containers do.  The partition layout is identical
-at both levels and scales with the corpus (~125k docs/partition):
+at both levels and scales with the corpus (~500k docs/partition):
 
 | cores | wall (s) | docs/sec | triples/sec |
 |---|---|---|---|
@@ -575,26 +575,34 @@ data-scaled partitions, data-aware stage overlap) — is in
   with cores, whereas a real cluster writes checkpoints/shuffle to
   distributed storage whose aggregate bandwidth grows with executors —
   tmpfs is the representative stand-in for the N-vs-4N comparison.
-- Partition count scales with the corpus (~125k docs/partition, floor
+- Partition count scales with the corpus (~500k docs/partition, floor
   cores*2): round 5's first 16M attempt inherited the old fixed cores*2
   layout — 4M docs per partition — and the per-doc rate fell 2.5x vs 8M
-  (sort/shuffle spill + GC thrash on oversized partitions).  Data-scaled
+  (sort/shuffle spill + GC thrash on oversized partitions), while 125k
+  docs/partition taxed the big shuffle/join stages 30–50%.  Data-scaled
   partitioning is the same discipline maxPartitionBytes enforces on file
   scans, applied to the synth source; layout is identical at both
   parallelism levels so the comparison never conflates partitioning with
   parallelism.  Per-stage walls for the median pair are published in the
-  scaling JSON (`timings`) — the round-5 per-stage diagnostic showed every
-  heavy stage scaling at 2.8–3.9x with the weakest being checkpoint-write
-  (I/O) stages, and the pipeline total within ~2% of the pinned pure-CPU
-  hardware ceiling.
+  scaling JSON (`timings`).
+- Allocator retention + split sizing (round-5 root causes 5–6,
+  bench_history_r5.md): this host's anonymous page-fault path scales
+  negatively with concurrency, so kg/session.py pins glibc's
+  mmap/trim thresholds high (worker arenas retain their high-water mark —
+  faults are paid once per long-lived worker, the steady state of real
+  cluster executors), routes pyarrow through the retaining allocator, and
+  pre-touches a fixed JVM heap; checkpoint scans are compute-dense
+  (~46 bytes/doc zstd, ~25 µs/doc kernel CPU) so maxPartitionBytes=16MB /
+  openCost=512KB keep scan-stage parallelism data-sized instead of
+  byte-quantized.  Measured effect: the 2M diagnostic pair moved from
+  0.685 to 0.911 efficiency.
 - Stage scheduling is pool-adaptive (kg/pipeline.py): 4-way concurrent
-  stage submission wins when the pool is wider than one stage's effective
-  parallelism (local[32]/100k: 38s -> 21s; local[8]/2M: 66.4s vs 72.9s
-  serial — the tail stages are I/O-bound and cannot individually fill 8
-  cores) and LOSES on tiny pools (local[2]/4M: 615s 4-way vs 390s serial)
-  — so the lo side runs serial and the hi side 4-way, each its own
-  measured-best configuration; the comparison is job-for-job (same DAG,
-  same partitioning), not scheduler-for-scheduler.
+  stage submission wins only in the micro-stage regime (under ~16k
+  docs/slot, where per-stage fixed costs dominate: local[32]/100k
+  38s -> 21s) and LOSES once one stage saturates the pool alone
+  (local[2]/4M: 615s 4-way vs 390s serial) — at the published corpus both
+  sides run serial; the comparison is job-for-job (same DAG, same
+  partitioning, same scheduler decision rule).
 
 ## Notes
 
