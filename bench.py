@@ -564,8 +564,9 @@ perfectly parallel, could measure above 0.72 on this box.  Within the
 carries its own same-window calibration above.
 
 Full round-5 measurement history — every window, including the failed
-16M configurations that located the three root causes (affinity,
-data-scaled partitions, data-aware stage overlap) — is in
+16M configurations that located the six root causes (affinity,
+data-scaled partitions, data-aware stage overlap, time-varying delivered
+CPU, allocator re-faulting, byte-quantized scan splits) — is in
 `bench_history_r5.md`.
 
 ## Measurement notes (round 5)
@@ -619,12 +620,13 @@ data-scaled partitions, data-aware stage overlap) — is in
   below — r4's single-shot append_vs_full numbers spanned 0.69–1.70
   across two clean windows (judged unsupportable, VERDICT r4), so the
   end-to-end ratio is now published as a MEDIAN of interleaved reps with
-  its spread, and the scale-relevant claim is carried by `perdoc_norm`
-  (appended per-document cost vs fresh per-document cost — the
-  fixed-overhead-free comparison): at production scale the per-document
-  stages dominate, so append_vs_full approaches the batch fraction while
-  the sandbox end-to-end ratio mostly measures the recomputed
-  linking/aggregation tail plus per-job fixed cost.  The append tail runs
+  its spread, and the scale-relevant claim is carried by the two-point
+  fixed/marginal fit in the query-bench section: at sandbox scale even
+  `perdoc_norm` is dominated by per-batch stage fixed costs (each append
+  re-runs every per-document stage on a tiny batch), so the fit separates
+  the per-append fixed term — which a larger batch or corpus amortizes —
+  from the marginal per-appended-doc cost, the number that actually
+  governs growth at 100 TB.  The append tail runs
   under the same pool-adaptive concurrent scheduler as the fresh
   pipeline; per-stage `perdoc_*` timings overlap under concurrency and
   sum to more than the phase wall.
@@ -658,6 +660,25 @@ def _query_bench_md() -> str:
             f"- {key} batch ({m['batch_docs']:g} docs): append_vs_full median "
             f"**{m['append_vs_full']}**, perdoc_norm median **{m['perdoc_norm']}** "
             f"(appended per-doc cost vs fresh per-doc cost)\n"
+        )
+    batches = list(ap.get("batches", {}).values())
+    if len(batches) >= 2 and ap.get("full_sec"):
+        # two-point fixed/marginal split: what an appended doc costs once
+        # per-batch fixed overhead (job submission, small-file scans, the
+        # recomputed linking tail) is separated out
+        (b1, b2) = sorted(batches, key=lambda m: m["batch_docs"])[:2]
+        dn = b2["batch_docs"] - b1["batch_docs"]
+        marginal = (b2["append_sec"] - b1["append_sec"]) / max(dn, 1)
+        fixed = b1["append_sec"] - marginal * b1["batch_docs"]
+        fresh = ap["full_sec"] / max(ap["base_docs"], 1)
+        ap_lines += (
+            f"- two-point fit across the batch sizes: **~{fixed:.1f}s fixed "
+            f"per append** + **~{marginal * 1000:.2f}ms marginal per appended "
+            f"doc** (fresh run: {fresh * 1000:.2f}ms/doc end-to-end).  The "
+            f"fixed term is per-batch overhead (job submission, small-file "
+            f"scans, the recomputed linking/aggregation tail) that a larger "
+            f"batch or corpus amortizes; the marginal term is the "
+            f"scale-relevant per-document cost of growth.\n"
         )
     return f"""
 ## Query bench (median of {b.get("repeats", "?")} interleaved reps, sf{b.get("sf")}, local[{b.get("cpus")}])
