@@ -44,18 +44,32 @@ def _hash_params(num_hashes: int = NUM_HASHES, seed: int = 7) -> tuple[np.ndarra
 
 
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Distinct char k-gram polynomial hashes (mod 2^31-1), int64."""
-    if len(text) < k:
-        grams = [text]
-    else:
-        grams = {text[i : i + k] for i in range(len(text) - k + 1)}
-    out = set()
-    for g in grams:
+    """Distinct char k-gram polynomial hashes (mod 2^31-1), int64.
+
+    Vectorized (VERDICT r5 item 5): the per-character Python fold
+    ``h = (h*131 + ord(ch)) % P`` is replaced by one NumPy expression over
+    the codepoint array — for the default k=3 the fold expands to
+    ``(c0*131^2 + c1*131 + c2) % P``, whose un-modded intermediate is
+    <= 0x10FFFF * (131^2+131+1) < 2^35, so a single final ``% P`` yields
+    the identical residue the stepwise fold produced (same identity for
+    any k while ``max_cp * (131^k-1)/130`` fits int64; k <= 8 is safe).
+    Distinctness via ``np.unique`` (sorted — callers treat the array as a
+    set).  Hash values are bit-identical to the old fold; the DuckDB
+    oracles and the driver-side twins are unchanged.
+    """
+    cps = np.frombuffer(
+        text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.int64)
+    n = cps.size
+    if n < k:
         h = 0
-        for ch in g:
-            h = (h * 131 + ord(ch)) % _P
-        out.add(h)
-    return np.fromiter(out, dtype=np.int64, count=len(out))
+        for c in cps:
+            h = (h * 131 + int(c)) % _P
+        return np.array([h], dtype=np.int64)
+    acc = np.zeros(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        acc += cps[j : n - k + 1 + j] * (131 ** (k - 1 - j))
+    return np.unique(acc % _P)
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -353,10 +367,23 @@ def connected_components(
         return catalog.read(final_stage)
 
     if row["n"] <= small_graph_threshold:
-        pairs = [(r["m1"], r["m2"]) for r in edges.select("m1", "m2").collect()]
-        labels_map = _union_find(pairs)
+        # Arrow on both hops (guide §6 "Arrow for driver transfers"): the
+        # row-path collect() pickled every edge row and createDataFrame
+        # re-pickled every label — measured ~2.5s of pure serialization at
+        # 250k edges (r6); the Arrow path moves both as columnar batches.
+        import pandas as pd
+
+        pdf = edges.select("m1", "m2").toPandas()
+        labels_map = _union_find(list(zip(pdf["m1"], pdf["m2"])))
+        items = sorted(labels_map.items())
         frozen = spark.createDataFrame(
-            sorted(labels_map.items()), "mention string, canonical string"
+            pd.DataFrame(
+                {
+                    "mention": [k for k, _ in items],
+                    "canonical": [v for _, v in items],
+                }
+            ),
+            "mention string, canonical string",
         )
         if catalog is not None:
             return catalog.run(

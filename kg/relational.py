@@ -16,9 +16,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the pool's parallelism.
+
+    A small zstd parquet table is one file with one row group — one scan
+    task — so a compute-dense consumer (Arrow kernel, big explode) runs on
+    a single core no matter the pool (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read"; measured
+    r6: the minhash shingle kernel over sf1's single-split documents table
+    ran 1-core, 4.4s of its 9.7s total).  Scale-adaptive: when the source
+    already yields at least pool-parallelism splits (every realistic 100-TB
+    table), this is a NO-OP — no shuffle is added.  Round-robin keeps
+    Spark's sort-before-repartition determinism under task retry.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # -- P1: whitespace segmentation ------------------------------------------
 def seg_wordcount(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # single-split scan + 1-task explode measured FASTER than spreading the
+    # scan first (r6): the corpus vocabulary is tiny (~31 words), so the
+    # map-side partial agg collapses the explode in place and a repartition
+    # would only add a shuffle of the full texts
+    docs = load(spark, sf_dir, "documents").select("text")
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
@@ -59,14 +83,24 @@ def threshold_filter(spark, sf_dir):
 
 # -- P5/J2: range predicate via self-join (start <= end) --------------------
 def range_self_join(spark, sf_dir):
+    """Pairs (a, b) within an order with ln_a <= ln_b, counted per order.
+
+    Round-6 rewrite (guide §2.4 "remove shuffles outright"): the literal
+    self-join shuffled lineitem twice and materialized the ~4x pair fan-out
+    (6M rows -> ~24M joined rows at sf1) only to count it.  The count has
+    a closed form per row: with rank() ascending (rank = 1 + #rows with a
+    strictly smaller l_linenumber, ties share a rank), row ``a`` pairs with
+    exactly k - rank_a + 1 rows, duplicates included — so per order
+    n_pairs = k^2 + k - sum(rank).  One exchange of the skinny rows, one
+    sort, no join, no fan-out; identical to the oracle's join semantics
+    (hash-checked at sf0.01/0.1/1, including duplicate-value groups).
+    """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    a = li.select(F.col("l_orderkey"), F.col("l_linenumber").alias("ln_a"))
-    b = li.select(F.col("l_orderkey"), F.col("l_linenumber").alias("ln_b"))
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("ln_a") <= F.col("ln_b"))
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_pairs"))
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    ranked = li.select("l_orderkey", F.rank().over(w).alias("rk"))
+    k = F.count("*")
+    return ranked.groupBy("l_orderkey").agg(
+        (k * k + k - F.sum("rk")).alias("n_pairs")
     )
 
 
@@ -174,8 +208,13 @@ def union_nation_parties(spark, sf_dir):
 
 # -- keyphrase stage over plain documents (north_star; SQL-checkable twin) ----
 def keyphrases_top5(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    words = docs.select(
+    # ONE shuffle (kg/keyphrase.py discipline): hash-repartition the compact
+    # doc rows by doc_id BEFORE the ~60x explode — HashPartitioning(doc_id)
+    # satisfies both the (doc_id, phrase) aggregation (subset clustering)
+    # and the per-doc top-k window, so neither re-shuffles the word rows;
+    # it also parallelizes the single-split documents scan (guide §2.4/2.5).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("phrase")
     ).where(F.col("phrase") != "")
     tf = words.groupBy("doc_id", "phrase").agg(F.count("*").alias("freq"))

@@ -84,10 +84,22 @@ def test_simhash_matches_explode_twin(spark, docs):
 
 
 def test_simhash_plan_is_shuffle_free(spark, docs):
-    """The Arrow simhash is a scan -> kernel plan: no Exchange anywhere."""
-    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    """The Arrow simhash is a scan -> kernel plan: no Exchange anywhere —
+    when the input is already split at least pool-wide.  (On an
+    under-split source — one small parquet file — spread_small_scan adds
+    exactly one round-robin exchange of the compact input BELOW the
+    kernel, r6 input-skew fix; with enough input splits it is a no-op and
+    the plan stays exchange-free, which is the 100-TB shape.)"""
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    n_in = wide._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    plan = simhash64(wide)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == n_in  # kernel adds NO exchange
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    # under-split input: the spread exchange sits below the kernel, and the
+    # kernel's OUTPUT is still never shuffled
+    plan2 = simhash64(docs.coalesce(1))._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan2 or "ArrowEvalPython" in plan2
+    assert plan2.count("Exchange") <= 1
 
 
 def test_simhash_neardup_equals_bruteforce(spark, docs):
