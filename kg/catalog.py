@@ -176,6 +176,7 @@ class StageCatalog:
         inputs: Sequence[str] = (),
         extra_inputs: dict[str, str] | None = None,
         meta: dict | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> list[str]:
         """Append ``df``'s rows to a committed stage as NEW parquet files,
         recording them in the manifest alongside the existing lineage.
@@ -190,8 +191,11 @@ class StageCatalog:
         ``reconcile`` pass at the start of the next append (and never read
         meanwhile); a retry then re-appends the batch cleanly
         (tests/test_incremental.py::test_torn_append_*).
-        Unpartitioned stages only (partitioned tables are cheap aggregation
-        tails — recomputed, not appended, by run_pipeline_append).
+        ``partition_by`` appends hive-partitioned increments (r6 — the
+        incremental edges path): new part-files land inside their partition
+        subdirectories, the manifest records partition-relative paths, and
+        ``read``'s basePath recovery is unchanged.  Must match the stage's
+        original partitioning.
         """
         m = self.manifest(stage)
         if m is None:
@@ -199,7 +203,10 @@ class StageCatalog:
         self.reconcile(stage)
         stage_dir = os.path.join(self.base_dir, stage)
         tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         new_files = self._file_lineage(tmp)
 
         final = self.data_dir(stage)
@@ -207,6 +214,7 @@ class StageCatalog:
         for f in new_files:
             # Spark part-file names embed a fresh job UUID — collision-free
             dst = os.path.join(final, f["file"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(os.path.join(tmp, f["file"]), dst)
             moved.append(dst)
         shutil.rmtree(tmp, ignore_errors=True)

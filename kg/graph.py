@@ -20,15 +20,28 @@ def entity_id(col):
 
 
 def build_nodes(mentions: DataFrame, mention_map: DataFrame) -> DataFrame:
-    m = mentions.join(mention_map, "mention")
-    by_tag = m.groupBy("canonical", "tag").agg(F.count("*").alias("tag_cnt"))
+    # ONE scan of the mentions table (r6; guide §1.2 "don't compute things
+    # twice"): every mention row carries exactly one tag, so n_mentions per
+    # canonical is the sum of its per-tag counts — the counts aggregation
+    # derives from by_tag instead of re-scanning + re-joining mentions.
+    # Shuffle payload is also pre-collapsed map-side: groupBy(mention, tag)
+    # reduces the explode-scale mention rows to the (surface x tag)
+    # vocabulary BEFORE the (broadcast) map join and the canonical agg.
+    m = (
+        mentions.groupBy("mention", "tag")
+        .agg(F.count("*").alias("cnt"))
+        .join(mention_map, "mention")
+    )
+    by_tag = m.groupBy("canonical", "tag").agg(F.sum("cnt").alias("tag_cnt"))
     w = Window.partitionBy("canonical").orderBy(F.desc("tag_cnt"), F.asc("tag"))
     modal = (
         by_tag.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("canonical", F.col("tag").alias("kind"))
     )
-    counts = m.groupBy("canonical").agg(F.count("*").alias("n_mentions"))
+    counts = by_tag.groupBy("canonical").agg(
+        F.sum("tag_cnt").cast("long").alias("n_mentions")
+    )
     return (
         counts.join(modal, "canonical")
         .select(

@@ -64,20 +64,31 @@ def span_violations(input_docs: DataFrame, output_docs: DataFrame) -> DataFrame:
     is tracked with explicit marker columns because after the full-outer
     join a NULL ``spans`` column cannot distinguish "row absent" from
     "row present with NULL spans".
+
+    The comparison ships an order-sensitive per-doc CHECKSUM through the
+    join instead of the span arrays themselves (VERDICT r5 item 9):
+    xxhash64 over the canonical JSON of the span sequence — ``to_json``
+    renders elements in array order with the fixed struct field order, and
+    a NULL span list canonicalizes to the same "[]" an empty one does, so
+    the predicate decides exactly the old array-equality (up to a 2^-64
+    hash collision; every damage class the mutation tests plant still
+    fires — tests/test_invariant.py).  The full_outer join payload drops
+    from the whole corpus text to (doc_id, 8-byte hash) per side — at 1M
+    docs the check measured 2.7s -> ~1s (r6).
     """
+    canon = lambda c: F.xxhash64(F.coalesce(F.to_json(c), F.lit("[]")))  # noqa: E731
     a = input_docs.select(
-        "doc_id", F.col("spans").alias("spans_in"), F.lit(True).alias("in_present")
+        "doc_id", canon(F.col("spans")).alias("h_in"),
+        F.lit(True).alias("in_present"),
     )
     b = output_docs.select(
-        "doc_id", F.col("spans").alias("spans_out"), F.lit(True).alias("out_present")
+        "doc_id", canon(F.col("spans")).alias("h_out"),
+        F.lit(True).alias("out_present"),
     )
     joined = a.join(b, "doc_id", "full_outer")
     ok = (
         F.col("in_present").isNotNull()
         & F.col("out_present").isNotNull()
-        & (
-            F.coalesce(F.col("spans_in"), F.array())
-            == F.coalesce(F.col("spans_out"), F.array())
-        )
+        & (F.col("h_in") == F.col("h_out"))
     )
     return joined.where(~ok)

@@ -352,6 +352,32 @@ def run_pipeline_append(
         return spark.read.parquet(*paths)
 
     new_docs = new_docs.localCheckpoint()
+    # Incremental-edges preconditions, part 1 (r6): the edges table groups
+    # by (subj_c, pred, obj_c, doc_id) — doc_id partitions the groups, so
+    # if the batch's doc_ids are DISJOINT from the old corpus, no old group
+    # can be touched by new rows and the canonicalized delta can be
+    # file-appended instead of recomputing + rewriting the whole table.
+    # The check must read the PRE-append documents table (one columnar
+    # doc_id scan); non-disjoint batches fall back to the full recompute.
+    t0 = time.perf_counter()
+    # The overlap scan itself is DEFERRED into the edges stage (it runs
+    # overlapped with the tail): cat.read captures the pre-append file
+    # list now, append only ever adds files, so the lazy evaluation still
+    # sees exactly the old corpus.
+    batch_overlap = new_docs.select("doc_id").join(
+        cat.read("documents").select("doc_id"), "doc_id", "left_semi"
+    )
+    # part 2: capture the pre-append mention->canonical map NOW — the
+    # linked stage dir is overwritten (old files deleted) by the recompute
+    # below.  Bounded by distinct mentions (orders of magnitude below the
+    # corpus).
+    old_linked = (
+        cat.read("linked").localCheckpoint()
+        if cat.manifest("linked") is not None
+        and cat.manifest("edges") is not None
+        else None
+    )
+    timings["edges_precheck"] = round(time.perf_counter() - t0, 3)
     # documents then extract commit SERIALLY: each downstream append records
     # its input stage's manifest fingerprint, which must be the post-append
     # one for resume coherence (a plain re-run must skip everything).
@@ -407,19 +433,48 @@ def run_pipeline_append(
             ),
             inputs=["mentions"],
         )
-        f_triples.result()
+        inc_triples = f_triples.result()
         f_nodes = ex.submit(
             timed, "nodes",
             lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
             inputs=["mentions", "linked"],
             partition_by=["kind"],
         )
-        f_edges = ex.submit(
-            timed, "edges",
-            lambda: build_edges(cat.read("triples"), cat.read("linked")),
-            inputs=["triples", "linked"],
-            partition_by=["pred"],
-        )
+        # Incremental edges (r6), part 3 — stability: if no OLD mention's
+        # canonical changed (a new mention joining an old component can
+        # rename it), every old edges row is byte-identical in a fresh
+        # recompute, so only the canonicalized delta (batch triples, whose
+        # doc_ids are disjoint — part 1) needs computing, appended
+        # file-wise into the pred partitions.  Any failed precondition
+        # falls back to the full recompute (equality contract unchanged —
+        # tests/test_incremental.py compares against fresh runs either way).
+        def _edges_stage():
+            if old_linked is not None:
+                stable = (
+                    batch_overlap.isEmpty()
+                    and old_linked.withColumnRenamed("canonical", "old_canonical")
+                    .join(cat.read("linked"), "mention")
+                    .where(F.col("old_canonical") != F.col("canonical"))
+                    .isEmpty()
+                )
+                if stable:
+                    t0 = time.perf_counter()
+                    cat.append(
+                        "edges",
+                        build_edges(inc_triples, cat.read("linked")),
+                        inputs=["triples", "linked"],
+                        partition_by=["pred"],
+                    )
+                    timings["edges+append"] = round(time.perf_counter() - t0, 3)
+                    return cat.read("edges")
+            return timed(
+                "edges",
+                lambda: build_edges(cat.read("triples"), cat.read("linked")),
+                inputs=["triples", "linked"],
+                partition_by=["pred"],
+            )
+
+        f_edges = ex.submit(_edges_stage)
         f_keyphrases.result()
         inc_docs_out = f_docs_out.result()
 

@@ -37,8 +37,12 @@ def test_append_equals_fresh(spark, vocab, tmp_path, split_corpus):
                   "keyphrases", "documents_out"):
         assert f"{stage}+append" in res.executed
         assert stage not in res.executed
-    # only the shared tail was recomputed
-    assert {"linked", "nodes", "edges"} <= set(res.executed)
+    # recomputed tail: linked + nodes; edges took the INCREMENTAL path (r6)
+    # on this corpus — batch doc_ids are disjoint and no old mention's
+    # canonical changed, so only the canonicalized delta was appended
+    assert {"linked", "nodes"} <= set(res.executed)
+    assert "edges+append" in res.executed
+    assert "edges" not in res.executed
 
 
 def test_append_is_idempotent(spark, vocab, tmp_path, split_corpus):
@@ -251,3 +255,76 @@ def test_append_requires_completed_run(spark, vocab, tmp_path, split_corpus):
             spark, docs_to_df(spark, new), str(tmp_path / "empty"),
             vocab=vocab, input_token="b2",
         )
+
+
+def _text_doc(doc_id: str, text: str) -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+def test_append_nondisjoint_doc_ids_falls_back_and_stays_equal(
+    spark, vocab, tmp_path, split_corpus
+):
+    """A batch that REUSES an old doc_id breaks the doc-partitioned-groups
+    argument of the incremental edges path (r6): a fresh run MERGES the
+    (subj, pred, obj, doc_id) groups across the two same-id docs, a blind
+    file-append would keep them split.  The precheck must detect the
+    overlap and take the full-recompute fallback ('edges' executed, no
+    'edges+append'), whose global groupBy merges them identically to
+    fresh.  (Duplicate doc_ids violate the span invariant by construction
+    — both runs use check_invariant=False — and per-doc appended tables
+    like keyphrases are out of contract for such input; the edge/node/link
+    tail is what the fallback guarantees.)"""
+    old, new, _ = split_corpus
+    reused = [dict(new[0], doc_id=old[5]["doc_id"])] + new[1:3]
+    base = str(tmp_path / "nondisj")
+    run_pipeline(
+        spark, docs_to_df(spark, old), base, vocab=vocab, input_token="t100",
+        check_invariant=False,
+    )
+    res = run_pipeline_append(
+        spark, docs_to_df(spark, reused), base, vocab=vocab, input_token="bx",
+        check_invariant=False,
+    )
+    assert "edges" in res.executed
+    assert "edges+append" not in res.executed
+    fresh = run_pipeline(
+        spark, docs_to_df(spark, old + reused), str(tmp_path / "nondisj_f"),
+        vocab=vocab, input_token="tf", check_invariant=False,
+    )
+    for name in ("documents", "mentions", "triples", "linked", "nodes", "edges"):
+        assert _rows(res.tables[name]) == _rows(fresh.tables[name]), name
+
+
+def test_append_canonical_rename_falls_back_and_stays_equal(
+    spark, vocab, tmp_path
+):
+    """A new mention that joins an old component AND becomes its new
+    (lexicographically smaller) canonical renames every old edge touching
+    the component — the stability check must force the full recompute and
+    the appended result must equal a fresh run over the union."""
+    old = [
+        _text_doc("doc-a0", "中国致公党/ns 中国致公党人/ns"),
+        _text_doc("doc-a1", "中国致公党/ns 北京/ns"),
+    ]
+    new = [_text_doc("doc-b0", "中国致公/ns 北京/ns")]
+    base = str(tmp_path / "rename")
+    run_pipeline(
+        spark, docs_to_df(spark, old), base, vocab=vocab, input_token="tA"
+    )
+    res = run_pipeline_append(
+        spark, docs_to_df(spark, new), base, vocab=vocab, input_token="tB"
+    )
+    # precondition of the scenario: the canonical actually moved
+    linked = {r["mention"]: r["canonical"] for r in res.tables["linked"].collect()}
+    assert linked["中国致公党"] == "中国致公"
+    assert "edges" in res.executed
+    assert "edges+append" not in res.executed
+    fresh = run_pipeline(
+        spark, docs_to_df(spark, old + new), str(tmp_path / "rename_f"),
+        vocab=vocab, input_token="tF",
+    )
+    for name in fresh.tables:
+        assert _rows(res.tables[name]) == _rows(fresh.tables[name]), name
