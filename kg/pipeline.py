@@ -83,7 +83,12 @@ class _SerialExecutor:
 # local[32]/100k docs (3.1k docs/slot: 38s -> 21s) and the measured 4-way
 # collapse at pinned local[8]/16M docs (2M docs/slot: every overlapped tail
 # stage ballooned to ~400s wall, pair efficiency 0.54 vs ~0.84 serial).
-STAGE_OVERLAP_MAX_ROWS_PER_SLOT = 16_000
+# r6: raised 16k -> 24k on a 3-pair interleaved A/B of the 550k-doc append
+# tail at local[32] (17.2k docs/slot): 4-way won every pair
+# ([25.4,12.9,13.2]s serial vs [15.7,12.1,10.0]s overlapped, median pair
+# delta -3.2s), while 31k docs/slot (1M fresh run) still measured serial
+# >= overlapped — the boundary sits between those two points.
+STAGE_OVERLAP_MAX_ROWS_PER_SLOT = 24_000
 
 
 def _stage_executor(spark: SparkSession, n_rows: int = 0):
@@ -352,6 +357,19 @@ def run_pipeline_append(
         return spark.read.parquet(*paths)
 
     new_docs = new_docs.localCheckpoint()
+    # Data-sized increment width (r6, guide §6 small-files): the batch DF
+    # arrives at driver parallelism (32 partitions for a 5k-doc batch), so
+    # every appended stage wrote 32 near-empty files per append — file
+    # counts, task counts and footer reads all scale with appends instead
+    # of data.  Re-width to ~16k docs/partition (floor 1, cap pool width):
+    # increments stay wide enough for the extract kernel, and a 1% batch
+    # appends 1 file per stage instead of 32.
+    n_batch = new_docs.count()
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism, -(-n_batch // 16_000)
+    ))
+    if width < new_docs.rdd.getNumPartitions():
+        new_docs = new_docs.repartition(width).localCheckpoint()
     # Incremental-edges preconditions, part 1 (r6): the edges table groups
     # by (subj_c, pred, obj_c, doc_id) — doc_id partitions the groups, so
     # if the batch's doc_ids are DISJOINT from the old corpus, no old group
