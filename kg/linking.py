@@ -486,10 +486,28 @@ def link_mentions(
     see ``connected_components``.
     """
     distinct = mentions.select("mention").distinct()
+    base = signature_base(
+        distinct, catalog=catalog, stage_name=f"{stage_prefix}_sigs"
+    )
+    return link_from_signatures(base, catalog=catalog, stage_prefix=stage_prefix)
+
+
+def link_from_signatures(
+    signatures: DataFrame, catalog=None, stage_prefix: str = "cc"
+) -> DataFrame:
+    """Candidate/verify/CC over an already-materialized signature table
+    (mention, shingles, buckets) -> (mention, canonical).
+
+    Split out of ``link_mentions`` (r6) so the pipeline can key the linked
+    stage on the SIGNATURE TABLE's fingerprint: the linked map is a pure
+    function of the distinct-mention set, which the signature table
+    captures exactly — an appended batch that introduces no never-seen
+    mention leaves the table (and hence this whole computation) unchanged,
+    and the stage catalog can skip it outright instead of replaying
+    bucket join + verify + CC to rediscover the same fixed point.
+    """
     base = (
-        signature_base(
-            distinct, catalog=catalog, stage_name=f"{stage_prefix}_sigs"
-        )
+        signatures
         .withColumn("mid", F.monotonically_increasing_id())
         .localCheckpoint()
     )

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Mapping
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -52,7 +53,7 @@ from kg.catalog import StageCatalog
 from kg.graph import build_edges, build_nodes
 from kg.invariant import passthrough_docs, span_violations
 from kg.keyphrase import keyphrases_table
-from kg.linking import link_mentions
+from kg.linking import link_from_signatures, signature_base
 from kg.mention import explode_text_spans, extract_sentences, mentions_table, triples_table
 from kg.synth import corpus_vocab
 from kg.tokenizer import Vocab
@@ -113,6 +114,35 @@ def _stage_executor(spark: SparkSession, n_rows: int = 0):
     return ThreadPoolExecutor(max_workers=workers, thread_name_prefix="kg-stage")
 
 
+def _run_linked_stage(cat: StageCatalog, timings: dict[str, float]) -> DataFrame:
+    """Refresh the durable signature table, then compute-or-skip the linked
+    stage KEYED ON THE SIGNATURE TABLE's fingerprint (r6).
+
+    The linked map is a pure function of the distinct-mention set, which
+    the signature table captures exactly (reconciliation in
+    ``signature_base`` appends never-seen mentions and rebuilds on a
+    non-superset corpus).  Keying the stage on the raw mentions table made
+    every append — whose mentions fingerprint always changes — replay
+    bucket join + verify + CC just to rediscover the identical fixed
+    point; keyed on the signature table, a batch that introduces no
+    never-seen mention (the steady-state growth mode of a Zipf corpus)
+    skips the whole replay, and any new or removed mention changes the
+    signature fingerprint and recomputes as before.
+    """
+    t0 = time.perf_counter()
+    distinct = cat.read("mentions").select("mention").distinct()
+    signature_base(distinct, catalog=cat, stage_name="linked_cc_sigs")
+    out = cat.run(
+        "linked",
+        lambda: link_from_signatures(
+            cat.read("linked_cc_sigs"), catalog=cat, stage_prefix="linked_cc"
+        ),
+        inputs=["linked_cc_sigs"],
+    )
+    timings["linked"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def input_fingerprint(docs: DataFrame) -> str:
     """Order-independent content fingerprint of the input corpus.
 
@@ -127,6 +157,29 @@ def input_fingerprint(docs: DataFrame) -> str:
         F.count("*").alias("n"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
+
+
+class _LazyTables(Mapping):
+    """Mapping of stage name -> committed checkpoint reader that defers the
+    ``StageCatalog.read`` (file listing + schema job) until first access."""
+
+    def __init__(self, cat: StageCatalog, stages, seed=None):
+        self._cat = cat
+        self._stages = tuple(stages)
+        self._cache: dict[str, DataFrame] = dict(seed or {})
+
+    def __getitem__(self, key: str) -> DataFrame:
+        if key not in self._cache:
+            if key not in self._stages:
+                raise KeyError(key)
+            self._cache[key] = self._cat.read(key)
+        return self._cache[key]
+
+    def __iter__(self):
+        return iter(self._stages)
+
+    def __len__(self) -> int:
+        return len(self._stages)
 
 
 @dataclass
@@ -206,13 +259,7 @@ def run_pipeline(
         # resumes label propagation from the last durable round when the
         # "linked" stage itself re-runs.  Linking starts as soon as mentions
         # commits — keyphrases/documents_out may still be in flight.
-        linked = timed(
-            "linked",
-            lambda: link_mentions(
-                cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
-            ),
-            inputs=["mentions"],
-        )
+        linked = _run_linked_stage(cat, timings)
         triples = f_triples.result()
         # Concurrent group 2 — published tables + the invariant proof.
         # Published tables are hive-partitioned on their dominant access key
@@ -444,13 +491,7 @@ def run_pipeline_append(
         f_mentions.result()
         # shared tail: recomputed over the full (old + increment) inputs;
         # linking starts as soon as mentions commits
-        linked = timed(
-            "linked",
-            lambda: link_mentions(
-                cat.read("mentions"), catalog=cat, stage_prefix="linked_cc"
-            ),
-            inputs=["mentions"],
-        )
+        linked = _run_linked_stage(cat, timings)
         inc_triples = f_triples.result()
         f_nodes = ex.submit(
             timed, "nodes",
@@ -513,24 +554,22 @@ def run_pipeline_append(
         edges = f_edges.result()
         violations = f_violations.result() if f_violations is not None else 0
 
-    documents = cat.read("documents")
-    documents_out = cat.read("documents_out")
     if violations:
         raise AssertionError(
             f"span-sequence invariant violated for {violations} docs"
         )
 
-    tables = {
-        "documents": documents,
-        "extract": cat.read("extract"),
-        "mentions": cat.read("mentions"),
-        "triples": cat.read("triples"),
-        "linked": linked,
-        "nodes": nodes,
-        "edges": edges,
-        "keyphrases": cat.read("keyphrases"),
-        "documents_out": documents_out,
-    }
+    # Lazy committed-stage readers (r6): each cat.read costs a file-listing
+    # + schema job; the append path built all nine eagerly (~1s of fixed
+    # overhead per append) though callers like the bench touch none of
+    # them.  Stages already read this run are seeded; the rest resolve on
+    # first access.
+    tables = _LazyTables(
+        cat,
+        ("documents", "extract", "mentions", "triples", "linked",
+         "nodes", "edges", "keyphrases", "documents_out"),
+        {"linked": linked, "nodes": nodes, "edges": edges},
+    )
     done = set(cat.executed)
     # non-table (CC/signature) stages stay in the ledger whether computed or
     # appended — e.g. linked_cc_sigs+append is the proof the signature table

@@ -113,17 +113,16 @@ def get_spark(
         # tmpfs/distributed storage are cheap to open and the 4MB default
         # otherwise dominates bin-packing of small zstd files.  At 100 TB
         # both only make MORE splits than cores — correct there too.
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_KG_DRIVER_MEM", "8g"))
-        # Fixed heap + pre-touch: fault the whole heap once at JVM start
-        # (outside any measured window) instead of growing it fault-by-fault
-        # under load — same rationale as the malloc retention above.  -Xms
-        # mirrors spark.driver.memory; on a cluster this is
-        # spark.executor.extraJavaOptions on long-lived executors.
+        # both env-overridable (ADVICE r5): the 16MB/512KB defaults are the
+        # compute-dense-checkpoint sizing measured in round 5; scan-bound
+        # deployments can widen them without code changes
         .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_KG_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_KG_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_KG_OPEN_COST_BYTES", str(512 * 1024)),
         )
         # cluster-mode equivalent of the pre-fork env above (no-op locally)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", worker_env["MALLOC_MMAP_THRESHOLD_"])
@@ -135,6 +134,19 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Fixed heap + pre-touch: fault the whole heap once at JVM start
+    # (outside any measured window) instead of growing it fault-by-fault
+    # under load — same rationale as the malloc retention above.  -Xms is
+    # derived from the FINAL resolved spark.driver.memory (ADVICE r5: an
+    # extra_conf override below the env default used to yield
+    # -Xms8g -Xmx2g and a driver that cannot launch); on a cluster this is
+    # spark.executor.extraJavaOptions on long-lived executors.
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_KG_DRIVER_MEM", "8g")
+    )
+    builder = builder.config("spark.driver.memory", driver_mem).config(
+        "spark.driver.extraJavaOptions", f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    )
     spark = builder.getOrCreate()
     # ship the package to executor Python workers (spark-submit --py-files
     # equivalent) so kernels unpickle no matter where the driver started
