@@ -133,14 +133,22 @@ def _extract_sentence(text: str, vocab: Vocab, tag2query: dict, tok_cache: dict)
 
 
 def extract_sentences(sentences: DataFrame, vocab: Vocab) -> DataFrame:
-    """sentences -> nested (doc_id, sent_offset, mentions[], triples[])."""
+    """sentences -> nested (doc_id, sent_offset, mentions[], triples[]).
+
+    The kernel is ``mapInArrow`` building ``ListArray(StructArray)`` output
+    directly (r6, guide §4.2): at 1M docs / 3M sentences the
+    pandas-object-column detour dominated the stage (~3.5-5s noop-isolated,
+    vs ~0.7s for the JVM explode feeding it) — the nested mention/triple
+    rows re-walked per row on conversion.  Same extraction semantics,
+    same memo discipline, identical output values.
+    """
     spark = sentences.sparkSession
     vocab_bc = spark.sparkContext.broadcast(vocab)
     tag2query = build_tag2query(vocab)
     t2q_bc = spark.sparkContext.broadcast(tag2query)
 
     def kernel(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         from kg.cache import BoundedCache
 
@@ -155,25 +163,44 @@ def extract_sentences(sentences: DataFrame, vocab: Vocab) -> DataFrame:
         # sentences — the synthetic corpus is Zipf-skewed the same way), so
         # repeated sentences cost one dict probe instead of a re-parse.
         sent_cache: dict[str, tuple[list, list]] = BoundedCache(65_536)
-        for pdf in batches:
-            out_m, out_t = [], []
-            for text in pdf["text"]:
+        for batch in batches:
+            m_tag: list = []; m_s: list = []; m_e: list = []; m_sur: list = []
+            t_s: list = []; t_p: list = []; t_o: list = []
+            m_off = [0]
+            t_off = [0]
+            for text in batch.column("text").to_pylist():
                 hit = sent_cache.get(text)
                 if hit is None:
                     hit = _extract_sentence(text, v, t2q, tok_cache)
                     sent_cache[text] = hit
-                out_m.append(hit[0])
-                out_t.append(hit[1])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "sent_offset": pdf["sent_offset"],
-                    "mentions": out_m,
-                    "triples": out_t,
-                }
+                for tg, s, e, sur in hit[0]:
+                    m_tag.append(tg); m_s.append(s); m_e.append(e)
+                    m_sur.append(sur)
+                m_off.append(len(m_tag))
+                for a, b, c in hit[1]:
+                    t_s.append(a); t_p.append(b); t_o.append(c)
+                t_off.append(len(t_s))
+            m_struct = pa.StructArray.from_arrays(
+                [pa.array(m_tag, pa.string()), pa.array(m_s, pa.int32()),
+                 pa.array(m_e, pa.int32()), pa.array(m_sur, pa.string())],
+                names=["tag", "start", "end", "mention"],
+            )
+            t_struct = pa.StructArray.from_arrays(
+                [pa.array(t_s, pa.string()), pa.array(t_p, pa.string()),
+                 pa.array(t_o, pa.string())],
+                names=["subj", "pred", "obj"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("sent_offset"),
+                    pa.ListArray.from_arrays(pa.array(m_off, pa.int32()), m_struct),
+                    pa.ListArray.from_arrays(pa.array(t_off, pa.int32()), t_struct),
+                ],
+                names=["doc_id", "sent_offset", "mentions", "triples"],
             )
 
-    return sentences.mapInPandas(kernel, EXTRACT_SCHEMA)
+    return sentences.mapInArrow(kernel, EXTRACT_SCHEMA)
 
 
 def mentions_table(extracted: DataFrame) -> DataFrame:

@@ -33,7 +33,15 @@ def _norm(a):
 
 
 def cosine_scores(embeddings: DataFrame, query_vec: list[float], round_to: int = 4) -> DataFrame:
-    """(vec_id, cosine) of every vector vs the query; JVM-side math."""
+    """(vec_id, cosine) of every vector vs the query; JVM-side math.
+
+    The per-element aggregate/zip lambdas are interpreted (no codegen), so
+    an under-split source — one small parquet file = one task — serializes
+    the whole scan; spread_small_scan parallelizes it and is a no-op on
+    any well-split source (r6, guide §2.5)."""
+    from kg.relational import spread_small_scan
+
+    embeddings = spread_small_scan(embeddings.select("vec_id", "embedding"))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
     return embeddings.select(
