@@ -111,6 +111,14 @@ def word_jaccard_pairs(
         )
         .join(F.broadcast(blk_caps), "blk")
         .where(F.col("df") <= F.col("df_cap"))
+        # materialize ONCE (r6): the filtered word table feeds three
+        # consumers (sizes + both pair-join sides); without this the
+        # scan -> explode -> df-join subtree re-executes per consumer
+        # (interleaved A/B at sf1: 2.1-2.8s -> 1.3-1.8s).  On a cluster:
+        # persist(); same single-materialization discipline as
+        # minhash_edges' signature table.
+        .select("doc_id", "blk", "word")
+        .localCheckpoint()
     )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_words"))
 
