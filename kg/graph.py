@@ -27,11 +27,21 @@ def build_nodes(mentions: DataFrame, mention_map: DataFrame) -> DataFrame:
     # Shuffle payload is also pre-collapsed map-side: groupBy(mention, tag)
     # reduces the explode-scale mention rows to the (surface x tag)
     # vocabulary BEFORE the (broadcast) map join and the canonical agg.
-    m = (
-        mentions.groupBy("mention", "tag")
-        .agg(F.count("*").alias("cnt"))
-        .join(mention_map, "mention")
+    return build_nodes_from_counts(mention_tag_counts(mentions), mention_map)
+
+
+def mention_tag_counts(mentions: DataFrame) -> DataFrame:
+    """(mention, tag, cnt) — the vocabulary-sized sufficient statistic the
+    nodes table derives from.  Additive under corpus growth, so the append
+    path maintains it incrementally (run_pipeline_append's nodes_mtc
+    stage) instead of re-scanning all mentions per append."""
+    return mentions.groupBy("mention", "tag").agg(
+        F.count("*").cast("long").alias("cnt")
     )
+
+
+def build_nodes_from_counts(counts: DataFrame, mention_map: DataFrame) -> DataFrame:
+    m = counts.join(mention_map, "mention")
     by_tag = m.groupBy("canonical", "tag").agg(F.sum("cnt").alias("tag_cnt"))
     w = Window.partitionBy("canonical").orderBy(F.desc("tag_cnt"), F.asc("tag"))
     modal = (

@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kg.catalog import StageCatalog
-from kg.graph import build_edges, build_nodes
+from kg.graph import (
+    build_edges,
+    build_nodes,
+    build_nodes_from_counts,
+    mention_tag_counts,
+)
 from kg.invariant import passthrough_docs, span_violations
 from kg.keyphrase import keyphrases_table
 from kg.linking import link_from_signatures, signature_base
@@ -442,6 +447,10 @@ def run_pipeline_append(
         and cat.manifest("edges") is not None
         else None
     )
+    # nodes_mtc incrementality anchor: the (mention, tag, cnt) sufficient
+    # statistic is valid for merging iff it matches the PRE-append mentions
+    # table (its fingerprint is captured here, before the append commits).
+    pre_mentions_fp = cat.fingerprint("mentions")
     timings["edges_precheck"] = round(time.perf_counter() - t0, 3)
     # documents then extract commit SERIALLY: each downstream append records
     # its input stage's manifest fingerprint, which must be the post-append
@@ -488,17 +497,41 @@ def run_pipeline_append(
             timed_append, "documents_out", passthrough_docs(new_docs),
             inputs=["documents"],
         )
-        f_mentions.result()
+        inc_mentions = f_mentions.result()
         # shared tail: recomputed over the full (old + increment) inputs;
         # linking starts as soon as mentions commits
         linked = _run_linked_stage(cat, timings)
         inc_triples = f_triples.result()
-        f_nodes = ex.submit(
-            timed, "nodes",
-            lambda: build_nodes(cat.read("mentions"), cat.read("linked")),
-            inputs=["mentions", "linked"],
-            partition_by=["kind"],
-        )
+
+        # nodes via the durable (mention, tag, cnt) statistic (r6): counts
+        # are additive under growth, so when the committed nodes_mtc stage
+        # matches the pre-append mentions table the increment's counts
+        # merge into it (vocabulary-sized job) — the O(corpus) mentions
+        # re-scan every append paid is gone.  A missing/stale statistic is
+        # rebuilt from the full table (same scan nodes always paid).
+        def _nodes_stage():
+            post_fp = cat.fingerprint("mentions")
+            if cat.is_complete("nodes_mtc", extra_inputs={"mentions": pre_mentions_fp}):
+                merged = (
+                    cat.read("nodes_mtc")
+                    .unionByName(mention_tag_counts(inc_mentions))
+                    .groupBy("mention", "tag")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+            else:
+                merged = mention_tag_counts(cat.read("mentions"))
+            cat.write("nodes_mtc", merged, extra_inputs={"mentions": post_fp})
+            cat.executed.append("nodes_mtc")
+            return timed(
+                "nodes",
+                lambda: build_nodes_from_counts(
+                    cat.read("nodes_mtc"), cat.read("linked")
+                ),
+                inputs=["mentions", "linked"],
+                partition_by=["kind"],
+            )
+
+        f_nodes = ex.submit(_nodes_stage)
         # Incremental edges (r6), part 3 — stability: if no OLD mention's
         # canonical changed (a new mention joining an old component can
         # rename it), every old edges row is byte-identical in a fresh
