@@ -83,18 +83,23 @@ class _SerialExecutor:
         return f
 
 
-# Above this many input docs per task slot, a single stage saturates the
-# pool by itself and concurrent submission only adds contention (see
-# _stage_executor).  Calibrated between the measured 4-way win at
-# local[32]/100k docs (3.1k docs/slot: 38s -> 21s) and the measured 4-way
-# collapse at pinned local[8]/16M docs (2M docs/slot: every overlapped tail
-# stage ballooned to ~400s wall, pair efficiency 0.54 vs ~0.84 serial).
-# r6: raised 16k -> 24k on a 3-pair interleaved A/B of the 550k-doc append
-# tail at local[32] (17.2k docs/slot): 4-way won every pair
-# ([25.4,12.9,13.2]s serial vs [15.7,12.1,10.0]s overlapped, median pair
-# delta -3.2s), while 31k docs/slot (1M fresh run) still measured serial
-# >= overlapped — the boundary sits between those two points.
+# Graduated overlap width (r6).  4-way submission wins only in the
+# micro-stage regime where per-stage fixed costs dominate; calibrated
+# between the measured 4-way win at local[32]/100k docs (3.1k docs/slot:
+# 38s -> 21s), the r6 3-pair interleaved win at the 550k-doc append tail
+# (17.2k docs/slot: serial [25.4,12.9,13.2]s vs [15.7,12.1,10.0]s), and
+# the measured 4-way LOSS at 31k docs/slot (1M fresh run, 39.8s vs 36.9s).
 STAGE_OVERLAP_MAX_ROWS_PER_SLOT = 24_000
+# Past that, TWO jobs in flight keep winning long after four stop (guide
+# §2.6: "2-3 jobs in flight is plenty" — the second job back-fills the
+# first's commit tails without the 4-way thrash).  Measured r6, every
+# interleaved pair: local[32]/1M (31k docs/slot) serial [26.1,23.2,23.8]s
+# vs 2-way [17.9,16.4,16.8]s; local[32]/4M (125k/slot) [61.4,59.1] vs
+# [48.4,49.9]; PINNED local[8]/4M (500k/slot) [102.6,114.2] vs
+# [88.4,86.0].  Above the measured 512k-docs/slot win boundary the r5
+# evidence (4-way collapse at 2M docs/slot; no 2-way measurement there)
+# makes serial the conservative 100-TB default.
+STAGE_OVERLAP2_MAX_ROWS_PER_SLOT = 512_000
 
 
 def _stage_executor(spark: SparkSession, n_rows: int = 0):
@@ -112,8 +117,15 @@ def _stage_executor(spark: SparkSession, n_rows: int = 0):
         workers = int(env)
     else:
         slots = spark.sparkContext.defaultParallelism
-        saturated = n_rows > slots * STAGE_OVERLAP_MAX_ROWS_PER_SLOT
-        workers = 4 if slots >= 8 and not saturated else 0
+        per_slot = n_rows / max(slots, 1)
+        if slots < 8:
+            workers = 0
+        elif per_slot <= STAGE_OVERLAP_MAX_ROWS_PER_SLOT:
+            workers = 4
+        elif per_slot <= STAGE_OVERLAP2_MAX_ROWS_PER_SLOT:
+            workers = 2
+        else:
+            workers = 0
     if workers <= 0:
         return _SerialExecutor()
     return ThreadPoolExecutor(max_workers=workers, thread_name_prefix="kg-stage")
