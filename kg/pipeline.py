@@ -20,20 +20,19 @@ execution leaves executors idle during each stage's driver-side tail
 (manifest commit, parquet-footer lineage scan) and never overlaps two small
 stages that each use a fraction of the cluster — on a 1000-executor cluster
 the four post-extract stages and the three post-linking stages are pure
-wins.  Concurrency only pays in the MICRO-STAGE regime — when single
-stages cannot saturate the pool and per-stage fixed costs dominate
-(measured on this box: local[32]/100k docs 4-way wins 21s vs 38s;
-local[8]/2M docs 4-way wins 66.4s vs 72.9s).  Once any one stage has
-enough rows to fill every task slot on its own, competing jobs only
-time-slice the same cores — scheduler contention, spill, and GC
-(measured: local[2]/4M docs 615s 4-way vs 390s serial; and at PINNED
-local[8]/16M docs the round-5 scaling pair showed every overlapped tail
-stage's wall ballooning to ~the group total, pair efficiency 0.54 vs
-~0.84 serial).  The width therefore adapts on data-per-slot: 4-way when
-the pool has 8+ slots AND the corpus is below
-``STAGE_OVERLAP_MAX_ROWS_PER_SLOT`` docs per slot, serial otherwise —
-serial is the 100-TB default, overlap the small-corpus/giant-pool
-optimization (override: ``SPARK_KG_STAGE_WORKERS``; 0 = serial).
+wins.  Concurrency width is GRADUATED on data-per-slot (r6).  4-way pays only
+in the MICRO-STAGE regime — single stages cannot saturate the pool and
+per-stage fixed costs dominate (measured: local[32]/100k docs 4-way wins
+21s vs 38s; it loses by 31k docs/slot).  TWO jobs in flight keep winning
+far past that — the second job back-fills the first's commit tails and
+stage gaps without 4-way's thrash (measured r6, every interleaved pair:
+local[32]/1M 17-18s vs 23-26s serial; local[32]/4M 48-50 vs 59-61;
+pinned local[8]/4M 86-88 vs 103-114).  Beyond the measured 512k-docs/slot
+win boundary serial remains the default: 4-way collapsed outright at 2M
+docs/slot (local[2]/4M 615s vs 390s serial; pinned local[8]/16M pair
+efficiency 0.54 vs ~0.84 in round 5) and 2-way is unmeasured there —
+conservative wins at 100 TB scale (override:
+``SPARK_KG_STAGE_WORKERS``; 0 = serial).
 ``PipelineResult.executed`` stays deterministic either way: completion
 order is canonicalized to DAG order.
 """
